@@ -1,0 +1,107 @@
+"""Exactness tests for the tiled/fused top-K search vs brute-force argsort."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from xmir_tpu.ops.distance import scores
+from xmir_tpu.ops.topk import exclude_self_topk, full_ranking, tiled_topk
+from xmir_tpu.ops.topk_pallas import fused_topk
+
+
+def brute_topk(q, g, k, metric):
+    s = np.asarray(scores(jnp.asarray(q), jnp.asarray(g), metric))
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(s, idx, axis=1)
+    return vals, idx
+
+
+METRICS = ["cosine", "ip", "l2", "hamming"]
+
+
+class TestTiledTopk:
+    @pytest.mark.parametrize("metric", METRICS)
+    def test_matches_bruteforce(self, rng, metric):
+        q = rng.standard_normal((17, 64)).astype(np.float32)
+        g = rng.standard_normal((501, 64)).astype(np.float32)
+        vals, idxs = tiled_topk(jnp.asarray(q), jnp.asarray(g), k=10, tile=128, metric=metric)
+        bv, bi = brute_topk(q, g, 10, metric)
+        np.testing.assert_array_equal(np.asarray(idxs), bi)
+        np.testing.assert_allclose(np.asarray(vals), bv, atol=1e-5)
+
+    def test_k_equals_n(self, rng):
+        q = rng.standard_normal((4, 32)).astype(np.float32)
+        g = rng.standard_normal((20, 32)).astype(np.float32)
+        vals, idxs = tiled_topk(jnp.asarray(q), jnp.asarray(g), k=20, tile=8, metric="cosine")
+        bv, bi = brute_topk(q, g, 20, "cosine")
+        np.testing.assert_array_equal(np.asarray(idxs), bi)
+
+    def test_tie_breaking_prefers_lower_index(self):
+        # duplicate gallery rows -> equal scores; lower index must come first
+        g = np.ones((8, 16), dtype=np.float32)
+        q = np.ones((1, 16), dtype=np.float32)
+        _, idxs = tiled_topk(jnp.asarray(q), jnp.asarray(g), k=4, tile=4)
+        np.testing.assert_array_equal(np.asarray(idxs)[0], [0, 1, 2, 3])
+
+    def test_k_larger_than_n_raises(self, rng):
+        q = rng.standard_normal((2, 8)).astype(np.float32)
+        g = rng.standard_normal((4, 8)).astype(np.float32)
+        with pytest.raises(ValueError):
+            tiled_topk(jnp.asarray(q), jnp.asarray(g), k=10)
+
+
+class TestFusedPallasTopk:
+    @pytest.mark.parametrize("metric", METRICS)
+    def test_matches_bruteforce_interpret(self, rng, metric):
+        q = rng.standard_normal((9, 96)).astype(np.float32)
+        g = rng.standard_normal((300, 96)).astype(np.float32)
+        vals, idxs = fused_topk(
+            jnp.asarray(q), jnp.asarray(g), k=7, metric=metric,
+            tile_q=8, tile_g=128, interpret=True,
+        )
+        bv, bi = brute_topk(q, g, 7, metric)
+        np.testing.assert_array_equal(np.asarray(idxs), bi)
+        np.testing.assert_allclose(np.asarray(vals), bv, atol=1e-4)
+
+    def test_tie_breaking(self):
+        g = np.ones((10, 16), dtype=np.float32)
+        q = np.ones((2, 16), dtype=np.float32)
+        _, idxs = fused_topk(
+            jnp.asarray(q), jnp.asarray(g), k=3, tile_q=8, tile_g=128, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(idxs), [[0, 1, 2], [0, 1, 2]])
+
+    def test_multi_tile_boundary(self, rng):
+        # gallery larger than one tile; best hits placed in later tiles
+        q = rng.standard_normal((3, 32)).astype(np.float32)
+        g = rng.standard_normal((400, 32)).astype(np.float32) * 0.01
+        g[350] = q[0] * 10  # strong hit in tile 2
+        g[5] = q[1] * 10
+        vals, idxs = fused_topk(
+            jnp.asarray(q), jnp.asarray(g), k=1, metric="ip",
+            tile_q=8, tile_g=128, interpret=True,
+        )
+        assert int(idxs[0, 0]) == 350
+        assert int(idxs[1, 0]) == 5
+
+
+class TestFullRanking:
+    def test_full_ranking_matches_argsort(self, rng):
+        q = rng.standard_normal((6, 16)).astype(np.float32)
+        g = rng.standard_normal((30, 16)).astype(np.float32)
+        s, ranks = full_ranking(jnp.asarray(q), jnp.asarray(g))
+        ref = np.argsort(-np.asarray(s), axis=1, kind="stable")
+        np.testing.assert_array_equal(np.asarray(ranks), ref)
+
+
+class TestExcludeSelf:
+    def test_removes_self(self, rng):
+        e = rng.standard_normal((12, 16)).astype(np.float32)
+        k = 5
+        vals, idxs = tiled_topk(jnp.asarray(e), jnp.asarray(e), k=k + 1, tile=8)
+        v2, i2 = exclude_self_topk(vals, idxs, jnp.arange(12), k)
+        i2 = np.asarray(i2)
+        for i in range(12):
+            assert i not in i2[i]
+        # order preserved and values still descending
+        v2 = np.asarray(v2)
+        assert np.all(np.diff(v2, axis=1) <= 1e-6)
