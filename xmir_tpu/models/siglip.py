@@ -1,0 +1,180 @@
+"""SigLIP vision tower in Flax — the MedSigLIP backbone and the
+ConceptCLIP image encoder.
+
+Mirrors the HF `SiglipVisionModel` graph (reference model.py:536-634 wraps
+`google/medsiglip-448`.vision_model): patch-conv embedding (no CLS token),
+learned position embeddings, pre-norm transformer with gelu_tanh MLPs,
+post-LayerNorm, and a multihead-attention-pooling head (learned probe token).
+
+Attention weights return as outputs on request — no "eager attention" surgery
+needed (the reference's `_convert_sdpa_to_eager_attention`, model.py:496-533,
+exists solely to recover them from torch SDPA).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class SiglipAttention(nn.Module):
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, output_attentions: bool = False):
+        b, n, _ = x.shape
+        hd = self.dim // self.num_heads
+        q = nn.Dense(self.dim, name="q_proj")(x)
+        k = nn.Dense(self.dim, name="k_proj")(x)
+        v = nn.Dense(self.dim, name="v_proj")(x)
+
+        def split(t):
+            return jnp.swapaxes(t.reshape(b, n, self.num_heads, hd), 1, 2)
+
+        q, k, v = split(q), split(k), split(v)
+        attn = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        attn = nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+        out = jnp.swapaxes(out, 1, 2).reshape(b, n, self.dim)
+        out = nn.Dense(self.dim, name="out_proj")(out)
+        return (out, attn) if output_attentions else (out, None)
+
+
+class SiglipMlp(nn.Module):
+    dim: int
+    intermediate: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.intermediate, name="fc1")(x)
+        x = nn.gelu(x, approximate=True)  # HF gelu_pytorch_tanh
+        x = nn.Dense(self.dim, name="fc2")(x)
+        return x
+
+
+class SiglipEncoderLayer(nn.Module):
+    dim: int
+    num_heads: int
+    intermediate: int
+
+    @nn.compact
+    def __call__(self, x, output_attentions: bool = False):
+        h = nn.LayerNorm(epsilon=1e-6, name="layer_norm1")(x)
+        h, attn = SiglipAttention(self.dim, self.num_heads, name="self_attn")(
+            h, output_attentions
+        )
+        x = x + h
+        h = nn.LayerNorm(epsilon=1e-6, name="layer_norm2")(x)
+        h = SiglipMlp(self.dim, self.intermediate, name="mlp")(h)
+        return x + h, attn
+
+
+class SiglipPoolingHead(nn.Module):
+    """Multihead attention pooling with a learned probe token."""
+
+    dim: int
+    num_heads: int
+    intermediate: int
+
+    @nn.compact
+    def __call__(self, tokens):
+        b = tokens.shape[0]
+        probe = self.param("probe", nn.initializers.normal(0.02), (1, 1, self.dim))
+        probe = jnp.broadcast_to(probe, (b, 1, self.dim))
+        # torch nn.MultiheadAttention: packed in-proj, out-proj
+        hd = self.dim // self.num_heads
+
+        def split(t, n):
+            return jnp.swapaxes(t.reshape(b, n, self.num_heads, hd), 1, 2)
+
+        q = nn.Dense(self.dim, name="attn_q")(probe)
+        k = nn.Dense(self.dim, name="attn_k")(tokens)
+        v = nn.Dense(self.dim, name="attn_v")(tokens)
+        a = jnp.einsum(
+            "bhqd,bhkd->bhqk", split(q, 1), split(k, tokens.shape[1]),
+            preferred_element_type=jnp.float32,
+        ) * (hd**-0.5)
+        a = nn.softmax(a, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a.astype(v.dtype), split(v, tokens.shape[1]))
+        o = jnp.swapaxes(o, 1, 2).reshape(b, 1, self.dim)
+        o = nn.Dense(self.dim, name="attn_out")(o)
+
+        res = o
+        h = nn.LayerNorm(epsilon=1e-6, name="layernorm")(o)
+        h = SiglipMlp(self.dim, self.intermediate, name="mlp")(h)
+        return (res + h)[:, 0]
+
+
+class SiglipVisionBackbone(nn.Module):
+    """Returns {"pooled": (B, D) MAP-head output, "tokens": (B, N, D)
+    post-layernorm patch tokens, "attentions": optional per-layer list}."""
+
+    img_size: int = 448
+    patch_size: int = 14
+    dim: int = 1152
+    depth: int = 27
+    num_heads: int = 16
+    intermediate: int = 4304
+    use_head: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, output_attentions: bool = False):
+        b = x.shape[0]
+        x = nn.Conv(
+            self.dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            name="patch_embedding",
+        )(x)
+        gh, gw = x.shape[1], x.shape[2]
+        n = gh * gw
+        x = x.reshape(b, n, self.dim)
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            ((self.img_size // self.patch_size) ** 2, self.dim),
+        )
+        if pos.shape[0] != n:
+            import jax
+
+            g_old = int(round(pos.shape[0] ** 0.5))
+            pos2 = pos.reshape(1, g_old, g_old, self.dim)
+            pos2 = jax.image.resize(pos2, (1, gh, gw, self.dim), "bilinear")
+            pos = pos2.reshape(n, self.dim)
+        x = x + pos[None]
+
+        attentions = [] if output_attentions else None
+        for i in range(self.depth):
+            x, attn = SiglipEncoderLayer(
+                self.dim, self.num_heads, self.intermediate, name=f"layer{i}"
+            )(x, output_attentions)
+            if output_attentions:
+                attentions.append(attn)
+        tokens = nn.LayerNorm(epsilon=1e-6, name="post_layernorm")(x)
+        pooled = None
+        if self.use_head:
+            pooled = SiglipPoolingHead(
+                self.dim, self.num_heads, self.intermediate, name="head"
+            )(tokens)
+        return {"pooled": pooled, "tokens": tokens, "attentions": attentions}
+
+
+def medsiglip_448_vision() -> SiglipVisionBackbone:
+    """google/medsiglip-448 vision tower (So400m: 1152/27/16/4304, patch 14)."""
+    return SiglipVisionBackbone(
+        img_size=448, patch_size=14, dim=1152, depth=27, num_heads=16,
+        intermediate=4304,
+    )
+
+
+def conceptclip_vision_384() -> SiglipVisionBackbone:
+    """ConceptCLIP image encoder: SigLIP-ViT-SO400M-14 at 384 (729 patches)."""
+    return SiglipVisionBackbone(
+        img_size=384, patch_size=14, dim=1152, depth=27, num_heads=16,
+        intermediate=4304,
+    )

@@ -1,0 +1,172 @@
+"""Vision Transformer backbone (DINOv2 / RAD-DINO style) in Flax.
+
+Covers the reference's timm `vit_base_patch14_dinov2.lvd142m` (model.py:448-494)
+and `microsoft/rad-dino` teacher (model.py:338-415): pre-norm blocks with
+LayerScale, CLS token + learned position embeddings, patch 14.
+
+Attention weights are FIRST-CLASS OUTPUTS (pass output_attentions=True) — the
+reference performs "eager attention" surgery on HF models to get them back
+(model.py:496-533); here the design simply returns them, which is also what
+the attention-rollout explainer consumes (explanations.py:979-1147).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MultiHeadAttention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, output_attentions: bool = False):
+        b, n, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, H, hd)
+        q = jnp.swapaxes(q, 1, 2)  # (B, H, N, hd)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+        attn = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (head_dim**-0.5)
+        attn = nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+        out = jnp.swapaxes(out, 1, 2).reshape(b, n, self.dim)
+        out = nn.Dense(self.dim, name="proj")(out)
+        if output_attentions:
+            return out, attn
+        return out, None
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init_value: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_value), (self.dim,)
+        )
+        return x * gamma
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, name="fc2")(x)
+        return x
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    use_layerscale: bool = True
+
+    @nn.compact
+    def __call__(self, x, output_attentions: bool = False):
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        h, attn = MultiHeadAttention(self.dim, self.num_heads, name="attn")(
+            h, output_attentions
+        )
+        if self.use_layerscale:
+            h = LayerScale(self.dim, name="ls1")(h)
+        x = x + h
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = Mlp(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(h)
+        if self.use_layerscale:
+            h = LayerScale(self.dim, name="ls2")(h)
+        return x + h, attn
+
+
+def interpolate_pos_embed(pos_embed, num_patches_new, num_prefix_tokens=1):
+    """Bilinear-resample grid position embeddings to a new patch count."""
+    prefix = pos_embed[:, :num_prefix_tokens]
+    grid = pos_embed[:, num_prefix_tokens:]
+    n_old = grid.shape[1]
+    g_old = int(round(n_old**0.5))
+    g_new = int(round(num_patches_new**0.5))
+    if g_old == g_new:
+        return pos_embed
+    import jax
+
+    grid = grid.reshape(1, g_old, g_old, -1)
+    grid = jax.image.resize(grid, (1, g_new, g_new, grid.shape[-1]), "bilinear")
+    grid = grid.reshape(1, g_new * g_new, -1)
+    return jnp.concatenate([prefix, grid], axis=1)
+
+
+class ViTBackbone(nn.Module):
+    """DINOv2-style ViT.
+
+    Returns {"cls": (B, D) final-norm CLS token, "tokens": (B, N, D) final-norm
+    patch tokens, "attentions": optional list of (B, H, N+1, N+1)}.
+    """
+
+    img_size: int = 518
+    patch_size: int = 14
+    dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    use_layerscale: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, output_attentions: bool = False):
+        b, h, w, _ = x.shape
+        x = nn.Conv(
+            self.dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            name="patch_embed",
+        )(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(b, gh * gw, self.dim)
+        cls = self.param(
+            "cls_token", nn.initializers.normal(stddev=1e-6), (1, 1, self.dim)
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)), x], axis=1)
+        num_patches_ref = (self.img_size // self.patch_size) ** 2
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, num_patches_ref + 1, self.dim),
+        )
+        pos = interpolate_pos_embed(pos, gh * gw)
+        x = x + pos
+
+        attentions = [] if output_attentions else None
+        for i in range(self.depth):
+            x, attn = ViTBlock(
+                self.dim,
+                self.num_heads,
+                self.mlp_ratio,
+                self.use_layerscale,
+                name=f"block{i}",
+            )(x, output_attentions)
+            if output_attentions:
+                attentions.append(attn)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return {
+            "cls": x[:, 0],
+            "tokens": x[:, 1:],
+            "attentions": attentions,
+        }
+
+
+def vit_base_patch14_dinov2() -> ViTBackbone:
+    return ViTBackbone(img_size=518, patch_size=14, dim=768, depth=12, num_heads=12)
+
+
+def rad_dino_backbone() -> ViTBackbone:
+    """microsoft/rad-dino is a DINOv2 ViT-B/14 at 518 (HF Dinov2Model layout)."""
+    return ViTBackbone(img_size=518, patch_size=14, dim=768, depth=12, num_heads=12)
