@@ -1,0 +1,144 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: exact top-10 query throughput over a 100k-image gallery
+(the Milvus-replacement north star; BASELINE.md targets >=50,000 QPS on a
+v5e-8, i.e. 6,250 QPS/chip). Extras record embedding throughput
+(>=10,000 img/s on v5e-8 => 1,250 img/s/chip target).
+
+Timing methodology: the remote-execution tunnel makes host-side
+block_until_ready unreliable and adds ~10ms RPC latency per fetch, so each
+benchmark runs its op inside an on-device lax.fori_loop with a sequential
+data dependency (iteration i+1 consumes a scalar from iteration i), and the
+wall time of (N2 iters) - (N1 iters) single fetches cancels the fixed
+tunnel/dispatch overhead.
+
+vs_baseline = measured QPS / per-chip share of the v5e-8 target.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GALLERY_N = 100_000
+DIM = 1024
+K = 10
+QUERY_BATCH = 1024
+EMBED_BATCH = 128
+TARGET_QPS_V5E8 = 50_000.0
+TARGET_IPS_V5E8 = 10_000.0
+N1, N2 = 2, 10
+
+
+def _loop_time(make_loop_fn, *args):
+    """Return seconds per single iteration of the op, overhead-cancelled."""
+    f1 = jax.jit(make_loop_fn(N1))
+    f2 = jax.jit(make_loop_fn(N2))
+    float(f1(*args))  # compile + warm
+    float(f2(*args))
+    t1 = min(
+        _timed(lambda: float(f1(*args))),
+        _timed(lambda: float(f1(*args))),
+    )
+    t2 = min(
+        _timed(lambda: float(f2(*args))),
+        _timed(lambda: float(f2(*args))),
+    )
+    return max((t2 - t1) / (N2 - N1), 1e-9)
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def bench_search(on_tpu: bool):
+    from xmir_tpu.ops.topk import tiled_topk
+    from xmir_tpu.ops.topk_pallas import fused_topk
+
+    rng = np.random.default_rng(0)
+    gallery = jnp.asarray(rng.standard_normal((GALLERY_N, DIM)).astype(np.float32))
+    gallery = gallery / jnp.linalg.norm(gallery, axis=1, keepdims=True)
+    queries = gallery[:QUERY_BATCH]
+
+    if on_tpu:
+        search = lambda q, g: fused_topk(q, g, K, metric="ip", tile_q=256, tile_g=2048)
+        kernel = "pallas_fused"
+    else:
+        search = lambda q, g: tiled_topk(q, g, K, tile=8192, metric="ip")
+        kernel = "xla_tiled"
+
+    def make_loop(iters):
+        def run(q, g):
+            def body(_, carry):
+                acc, bump = carry
+                vals, idxs = search(q + bump, g)
+                s = jnp.sum(vals) + jnp.sum(idxs).astype(jnp.float32)
+                return acc + s, s * 0e-30  # sequential dependency, value ~0
+            acc, _ = jax.lax.fori_loop(0, iters, body, (0.0, 0.0))
+            return acc
+        return run
+
+    dt = _loop_time(make_loop, queries, gallery)
+    return QUERY_BATCH / dt, kernel
+
+
+def bench_embed():
+    from xmir_tpu.models import create_model
+
+    model, _ = create_model("densenet121", embedding_dim=128)
+    rng = np.random.default_rng(0)
+    x32 = jnp.asarray(rng.standard_normal((EMBED_BATCH, 224, 224, 3)), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x32)
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, variables
+    )
+    x = x32.astype(jnp.bfloat16)
+
+    def make_loop(iters):
+        def run(v, x):
+            def body(_, carry):
+                acc, bump = carry
+                e = model.apply(v, x + bump, train=False)["embedding"]
+                s = jnp.sum(e).astype(jnp.float32)
+                return acc + s, (s * 0e-30).astype(x.dtype)
+            acc, _ = jax.lax.fori_loop(0, iters, body, (0.0, jnp.bfloat16(0)))
+            return acc
+        return run
+
+    dt = _loop_time(make_loop, variables, x)
+    return EMBED_BATCH / dt
+
+
+def main():
+    n_chips = jax.device_count()
+    on_tpu = jax.devices()[0].platform == "tpu"
+    qps, kernel = bench_search(on_tpu)
+    try:
+        ips = bench_embed()
+    except Exception:
+        ips = None
+
+    per_chip_target = TARGET_QPS_V5E8 / 8.0 * n_chips
+    result = {
+        "metric": "exact_top10_qps_100k_gallery",
+        "value": round(qps, 1),
+        "unit": "queries/sec",
+        "vs_baseline": round(qps / per_chip_target, 3),
+        "extras": {
+            "embed_images_per_sec_densenet121_bf16": None if ips is None else round(ips, 1),
+            "embed_target_per_chip": TARGET_IPS_V5E8 / 8.0 * n_chips,
+            "kernel": kernel,
+            "n_chips": n_chips,
+            "platform": jax.devices()[0].platform,
+            "gallery": GALLERY_N,
+            "dim": DIM,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""ShardedGalleryIndex tests: exactness vs brute force, multi-device sharding
+on the 8-device CPU mesh, metadata search, save/load round-trip."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from xmir_tpu.index import ShardedGalleryIndex
+from xmir_tpu.ops.distance import scores
+from xmir_tpu.parallel import make_mesh
+
+
+def brute(q, g, k, metric="cosine"):
+    s = np.asarray(scores(jnp.asarray(q), jnp.asarray(g), metric))
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, idx, axis=1), idx
+
+
+@pytest.fixture
+def data(rng):
+    g = rng.standard_normal((500, 64)).astype(np.float32)
+    q = rng.standard_normal((13, 64)).astype(np.float32)
+    labels = rng.integers(0, 3, 500)
+    paths = [f"img_{i}.png" for i in range(500)]
+    return q, g, labels, paths
+
+
+class TestSingleDevice:
+    def test_exact_search(self, data):
+        q, g, labels, paths = data
+        idx = ShardedGalleryIndex(64)
+        idx.add(g, labels, paths)
+        idx.build()
+        vals, ids = idx.search(q, k=10)
+        bv, bi = brute(q, g, 10)
+        np.testing.assert_array_equal(np.asarray(ids), bi)
+        np.testing.assert_allclose(np.asarray(vals), bv, atol=1e-5)
+
+    def test_incremental_add(self, data):
+        q, g, labels, paths = data
+        idx = ShardedGalleryIndex(64)
+        idx.add(g[:200], labels[:200], paths[:200])
+        idx.add(g[200:], labels[200:], paths[200:])
+        idx.build()
+        assert idx.ntotal == 500
+        _, ids = idx.search(q, k=5)
+        _, bi = brute(q, g, 5)
+        np.testing.assert_array_equal(np.asarray(ids), bi)
+
+    def test_self_exclusion(self, data):
+        _, g, labels, paths = data
+        idx = ShardedGalleryIndex(64)
+        idx.add(g, labels, paths)
+        idx.build()
+        _, ids = idx.search(g[:20], k=5, exclude_ids=np.arange(20))
+        ids = np.asarray(ids)
+        for i in range(20):
+            assert i not in ids[i]
+
+    def test_metadata_results(self, data):
+        q, g, labels, paths = data
+        idx = ShardedGalleryIndex(64)
+        idx.add(g, labels, paths)
+        idx.build()
+        res = idx.search_with_metadata(q[:2], k=3)
+        assert len(res) == 2 and len(res[0]) == 3
+        hit = res[0][0]
+        assert set(hit) == {"id", "image_path", "label", "distance", "similarity"}
+        assert hit["image_path"] == f"img_{hit['id']}.png"
+        # cosine conversion: distance = 1 - sim
+        assert hit["distance"] == pytest.approx(1.0 - hit["similarity"], abs=1e-6)
+
+    def test_save_load_roundtrip(self, data, tmp_path):
+        q, g, labels, paths = data
+        idx = ShardedGalleryIndex(64)
+        idx.add(g, labels, paths)
+        idx.build()
+        p = str(tmp_path / "gallery.npz")
+        idx.save(p)
+        idx2 = ShardedGalleryIndex.load(p)
+        assert idx2.ntotal == 500
+        v1, i1 = idx.search(q, k=5)
+        v2, i2 = idx2.search(q, k=5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_dim_mismatch_raises(self):
+        idx = ShardedGalleryIndex(32)
+        with pytest.raises(ValueError):
+            idx.add(np.zeros((4, 64), np.float32))
+
+    def test_full_ranking(self, data):
+        q, g, labels, paths = data
+        idx = ShardedGalleryIndex(64)
+        idx.add(g, labels, paths)
+        idx.build()
+        s, ranks = idx.full_ranking(q[:3])
+        assert s.shape == (3, 500)
+        bs = np.asarray(scores(jnp.asarray(q[:3]), jnp.asarray(g), "cosine"))
+        np.testing.assert_array_equal(
+            np.asarray(ranks), np.argsort(-bs, axis=1, kind="stable")
+        )
+
+
+class TestShardedSearch:
+    def test_matches_single_device_8way(self, data):
+        q, g, labels, paths = data
+        assert jax.device_count() == 8, "conftest must provide 8 cpu devices"
+        mesh = make_mesh()
+        idx = ShardedGalleryIndex(64)
+        idx.add(g, labels, paths)
+        idx.build(mesh)
+        vals, ids = idx.search(q, k=10)
+        bv, bi = brute(q, g, 10)
+        np.testing.assert_array_equal(np.asarray(ids), bi)
+        np.testing.assert_allclose(np.asarray(vals), bv, atol=1e-5)
+
+    def test_uneven_shards(self, rng):
+        # N not divisible by 8 -> padded rows must never be returned
+        g = rng.standard_normal((501, 32)).astype(np.float32)
+        q = rng.standard_normal((5, 32)).astype(np.float32)
+        mesh = make_mesh()
+        idx = ShardedGalleryIndex(32)
+        idx.add(g)
+        idx.build(mesh)
+        vals, ids = idx.search(q, k=7)
+        bv, bi = brute(q, g, 7)
+        np.testing.assert_array_equal(np.asarray(ids), bi)
+        assert np.asarray(ids).max() < 501
+
+    def test_k_larger_than_shard(self, rng):
+        # k > rows per shard exercises the per-shard padding path
+        g = rng.standard_normal((64, 16)).astype(np.float32)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        mesh = make_mesh()
+        idx = ShardedGalleryIndex(16)
+        idx.add(g)
+        idx.build(mesh)
+        vals, ids = idx.search(q, k=20)  # 8 shards x 8 rows each
+        bv, bi = brute(q, g, 20)
+        np.testing.assert_array_equal(np.asarray(ids), bi)
+
+    @pytest.mark.parametrize("metric", ["ip", "l2", "hamming"])
+    def test_other_metrics_sharded(self, rng, metric):
+        g = rng.standard_normal((200, 32)).astype(np.float32)
+        q = rng.standard_normal((4, 32)).astype(np.float32)
+        mesh = make_mesh()
+        idx = ShardedGalleryIndex(32, metric=metric)
+        idx.add(g)
+        idx.build(mesh)
+        _, ids = idx.search(q, k=5)
+        _, bi = brute(q, g, 5, metric)
+        np.testing.assert_array_equal(np.asarray(ids), bi)

@@ -1,0 +1,175 @@
+"""Train-step tests: loss decreases on separable data, batch_stats update,
+freeze masks hold, and the data-parallel sharded step runs on the 8-device
+CPU mesh with identical results to single-device."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from xmir_tpu.models import DenseNet121Embedder, NIHDualHeadModel
+from xmir_tpu.models.ath import ATHNet
+from xmir_tpu.train import (
+    build_optimizer,
+    create_train_state,
+    make_dual_branch_train_step,
+    make_embed_fn,
+    make_embedding_train_step,
+    unfreeze_last_blocks_predicate,
+)
+from xmir_tpu.parallel import make_mesh, batch_sharding, replicated
+
+
+class TinyEmbedder:
+    """Small MLP embedder for fast train-step tests."""
+
+    def __new__(cls):
+        import flax.linen as nn
+
+        class _M(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                h = nn.Dense(32, name="backbone_fc")(x.reshape(x.shape[0], -1))
+                h = nn.relu(h)
+                h = nn.Dense(16, name="fc")(h)
+                e = h / jnp.maximum(jnp.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+                return {"embedding": e}
+
+        return _M()
+
+
+def _cluster_batch(rng, b=24, d=12, classes=3):
+    centers = rng.standard_normal((classes, d)).astype(np.float32) * 3
+    labels = np.repeat(np.arange(classes), b // classes)
+    x = centers[labels] + rng.standard_normal((b, d)).astype(np.float32) * 0.5
+    return jnp.asarray(x[:, None, None, :]), jnp.asarray(labels)
+
+
+class TestEmbeddingStep:
+    def test_loss_decreases(self, rng):
+        model = TinyEmbedder()
+        x, labels = _cluster_batch(rng)
+        tx = build_optimizer(
+            model.init(jax.random.PRNGKey(0), x)["params"], lr=1e-2
+        )
+        state = create_train_state(model, jax.random.PRNGKey(0), x, tx)
+        step = jax.jit(make_embedding_train_step(model, "triplet_hard"))
+        losses = []
+        for _ in range(30):
+            state, m = step(state, x, labels)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.7
+
+    def test_batch_stats_update(self, rng):
+        model = DenseNet121Embedder(embedding_dim=8)
+        x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+        labels = jnp.asarray([0, 0, 1, 1])
+        params = jax.jit(lambda r, x: model.init(r, x, train=True))(
+            jax.random.PRNGKey(0), x
+        )
+        tx = build_optimizer(params["params"], lr=1e-3)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), x, tx, variables=params
+        )
+        before = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+        step = jax.jit(make_embedding_train_step(model, "triplet"))
+        state, _ = step(state, x, labels)
+        after = jax.tree_util.tree_leaves(state.batch_stats)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_frozen_params_unchanged(self, rng):
+        model = TinyEmbedder()
+        x, labels = _cluster_batch(rng)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        tx = build_optimizer(
+            params, lr=1e-2,
+            frozen_predicate=lambda p: p.startswith("backbone_fc"),
+        )
+        state = create_train_state(model, jax.random.PRNGKey(0), x, tx)
+        frozen_before = np.asarray(state.params["backbone_fc"]["kernel"])
+        head_before = np.asarray(state.params["fc"]["kernel"])
+        step = jax.jit(make_embedding_train_step(model, "triplet_hard"))
+        state, _ = step(state, x, labels)
+        np.testing.assert_array_equal(
+            np.asarray(state.params["backbone_fc"]["kernel"]), frozen_before
+        )
+        assert not np.allclose(np.asarray(state.params["fc"]["kernel"]), head_before)
+
+    def test_unfreeze_last_blocks_predicate(self):
+        frozen = unfreeze_last_blocks_predicate(12, 3)
+        assert frozen("backbone/block0/attn/qkv/kernel")
+        assert not frozen("backbone/block9/attn/qkv/kernel")
+        assert not frozen("backbone/block11/mlp/fc1/kernel")
+        assert not frozen("backbone/norm/scale")
+        assert not frozen("fc/kernel")
+
+
+class TestDualBranchStep:
+    def test_runs_and_decreases(self, rng):
+        import flax.linen as nn
+
+        class _M(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                h = nn.Dense(32)(x.reshape(x.shape[0], -1))
+                h = nn.gelu(h)
+                p = nn.Dense(16)(h)
+                e = p / jnp.maximum(jnp.linalg.norm(p, axis=1, keepdims=True), 1e-12)
+                return {"embedding": e, "projection": p, "logits": nn.Dense(5)(p)}
+
+        model = _M()
+        x = jnp.asarray(rng.standard_normal((16, 1, 1, 12)), jnp.float32)
+        labels = jnp.asarray(
+            (rng.random((16, 5)) > 0.6).astype(np.float32)
+        )
+        labels = labels.at[jnp.sum(labels, axis=1) == 0, 0].set(1.0)
+        tx = build_optimizer(model.init(jax.random.PRNGKey(0), x)["params"], lr=5e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), x, tx)
+        step = jax.jit(make_dual_branch_train_step(model))
+        losses = []
+        for _ in range(25):
+            state, m = step(state, x, labels)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert "contrastive" in m and "asl" in m
+
+
+class TestShardedStep:
+    def test_dp_matches_single_device(self, rng):
+        """The sharded (data-parallel) step must produce the same params as the
+        unsharded step — XLA's psum is the DDP allreduce."""
+        model = TinyEmbedder()
+        x, labels = _cluster_batch(rng)
+        tx = build_optimizer(model.init(jax.random.PRNGKey(0), x)["params"], lr=1e-2)
+        state_a = create_train_state(model, jax.random.PRNGKey(0), x, tx)
+        state_b = jax.tree_util.tree_map(lambda a: a, state_a)
+
+        step = make_embedding_train_step(model, "triplet_hard")
+        # single device
+        state_a, ma = jax.jit(step)(state_a, x, labels)
+
+        # 8-way data parallel via shardings
+        mesh = make_mesh()
+        xs = jax.device_put(x, batch_sharding(mesh))
+        ls = jax.device_put(labels, batch_sharding(mesh))
+        state_b = jax.device_put(state_b, replicated(mesh))
+        state_b, mb = jax.jit(step)(state_b, xs, ls)
+
+        np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), atol=1e-5)
+        for pa, pb in zip(
+            jax.tree_util.tree_leaves(state_a.params),
+            jax.tree_util.tree_leaves(state_b.params),
+        ):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
+
+
+class TestEmbedFn:
+    def test_embed_fn(self, rng):
+        model = TinyEmbedder()
+        x, _ = _cluster_batch(rng)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        embed = jax.jit(make_embed_fn(model))
+        e = embed(variables, x)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(e), axis=1), 1.0, atol=1e-5
+        )

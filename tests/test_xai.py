@@ -1,0 +1,239 @@
+"""XAI engine tests: mask generation parity, SBSM localization, SimAtt/SimCAM
+shapes + sanity, rollout math vs hand-computed reference, causal metric
+semantics vs a step-by-step numpy oracle."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from xmir_tpu.xai import (
+    attention_rollout,
+    causal_scores,
+    generate_masks,
+    get_feature_head,
+    rollout_saliency,
+    run_causal_metric,
+    saliency_rank,
+    sbsm_pair_saliency,
+    sbsm_self_saliency,
+    simatt_saliency,
+    simcam_maps,
+    zeros_substrate,
+)
+from xmir_tpu.metrics.saliency import auc
+from xmir_tpu.ops.blur import gaussian_blur, gkern
+
+
+def toy_embed_fn(variables, images):
+    """Embedding = spatially-weighted channel means; sensitive to a bright
+    corner patch so occlusion there changes the embedding."""
+    x = images.astype(jnp.float32)
+    b = x.shape[0]
+    h, w = x.shape[1], x.shape[2]
+    yy = jnp.linspace(0, 1, h)[None, :, None, None]
+    xx = jnp.linspace(0, 1, w)[None, None, :, None]
+    feats = jnp.concatenate(
+        [
+            jnp.mean(x, axis=(1, 2)),
+            jnp.mean(x * yy, axis=(1, 2)),
+            jnp.mean(x * xx, axis=(1, 2)),
+        ],
+        axis=1,
+    )
+    return feats / jnp.maximum(jnp.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
+
+
+class TestMasks:
+    def test_reference_mask_grid(self):
+        masks = generate_masks(224, window_size=24, stride=5)
+        # reference grid: rows = arange(5-24, 224, 5) -> len 49 -> 49*49 masks
+        assert masks.shape == (49 * 49, 224, 224)
+        assert masks.dtype == np.uint8
+        assert set(np.unique(masks)) == {0, 1}
+
+    def test_every_pixel_covered(self):
+        masks = generate_masks(32, window_size=8, stride=4)
+        coverage = (1 - masks).sum(0)
+        assert coverage.min() >= 1  # every pixel occluded at least once
+
+
+class TestSBSM:
+    def test_self_saliency_localizes(self):
+        # image with a single bright patch: occluding it changes the embedding
+        # most, so saliency should peak inside the patch
+        img = np.zeros((1, 32, 32, 3), np.float32)
+        img[0, 20:28, 4:12, :] = 5.0
+        masks = jnp.asarray(generate_masks(32, 8, 4))
+        sal = sbsm_self_saliency(toy_embed_fn, {}, jnp.asarray(img), masks, chunk=32)
+        sal = np.asarray(sal)[0]
+        peak = np.unravel_index(sal.argmax(), sal.shape)
+        assert 16 <= peak[0] <= 31 and 0 <= peak[1] <= 15
+
+    def test_pair_saliency_shape_and_nonneg(self):
+        rng = np.random.default_rng(0)
+        xq = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+        xr = jnp.asarray(rng.random((3, 32, 32, 3)), jnp.float32)
+        masks = jnp.asarray(generate_masks(32, 8, 4))
+        sal = sbsm_pair_saliency(toy_embed_fn, {}, xq, xr, masks, chunk=32)
+        assert sal.shape == (2, 3, 32, 32)
+        assert float(jnp.min(sal)) >= 0.0
+
+
+class TestSimAtt:
+    def test_densenet_head_and_saliency(self):
+        from xmir_tpu.models import DenseNet121Embedder
+
+        model = DenseNet121Embedder(embedding_dim=16)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((3, 64, 64, 3)), jnp.float32
+        )
+        variables = model.init(jax.random.PRNGKey(0), x)
+
+        def features_fn(xs):
+            return model.apply(variables, xs)["features"]
+
+        head_fn = get_feature_head("densenet121", variables["params"])
+        # consistency: head(features) == model embedding
+        out = model.apply(variables, x)
+        emb_head = head_fn(features_fn(x))
+        np.testing.assert_allclose(
+            np.asarray(emb_head), np.asarray(out["embedding"]), atol=1e-5
+        )
+        sal = simatt_saliency(features_fn, head_fn, x, n_pos=1)
+        assert sal.shape == (3, 64, 64)
+        assert float(jnp.min(sal)) >= 0.0
+        assert np.isfinite(np.asarray(sal)).all()
+
+
+class TestSimCAM:
+    def test_maps_localize_matching_region(self):
+        rng = np.random.default_rng(0)
+        h = w = c = 4
+        q = np.zeros((h, w, c), np.float32)
+        r = np.zeros((1, h, w, c), np.float32)
+        # matching signal: q at (0,0) and r at (3,3) share a channel pattern
+        q[0, 0] = [10, 0, 0, 0]
+        r[0, 3, 3] = [10, 0, 0, 0]
+        maps = simcam_maps(jnp.asarray(q), jnp.asarray(r), out_hw=(8, 8))
+        maps = np.asarray(maps)
+        assert maps.shape == (1, 2, 8, 8)
+        qmap, rmap = maps[0]
+        assert np.unravel_index(qmap.argmax(), qmap.shape) == (0, 0)
+        assert np.unravel_index(rmap.argmax(), rmap.shape) == (7, 7)
+
+
+class TestRollout:
+    def test_uniform_attention_rollout_oracle(self):
+        # uniform attention + residual: a = (J/n + I)/2; rollout = a @ a
+        b, heads, n = 1, 2, 4
+        attn = jnp.ones((b, heads, n, n)) / n
+        r = attention_rollout([attn, attn], discard_ratio=0.0)
+        a = (np.full((n, n), 1 / n) + np.eye(n)) / 2.0
+        np.testing.assert_allclose(np.asarray(r)[0], a @ a, atol=1e-6)
+
+    def test_hand_computed_single_layer(self):
+        n = 2
+        a = jnp.asarray([[[[0.8, 0.2], [0.4, 0.6]]]])  # (1, 1, 2, 2)
+        r = attention_rollout([a], discard_ratio=0.0)
+        expected = (np.asarray(a)[0, 0] + np.eye(2))
+        expected = expected / expected.sum(-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(r)[0], expected, atol=1e-6)
+
+    def test_discard_ratio_sparsifies(self):
+        rng = np.random.default_rng(0)
+        a = jax.nn.softmax(jnp.asarray(rng.standard_normal((1, 2, 16, 16))), -1)
+        dense = attention_rollout([a], discard_ratio=0.0)
+        sparse = attention_rollout([a], discard_ratio=0.9)
+        assert not np.allclose(np.asarray(dense), np.asarray(sparse))
+
+    def test_rollout_saliency_shapes_and_guidance(self):
+        rng = np.random.default_rng(0)
+        attn = jax.nn.softmax(jnp.asarray(rng.standard_normal((2, 2, 16, 16))), -1)
+        sal = rollout_saliency([attn], (32, 32))
+        assert sal.shape == (2, 32, 32)
+        q = jnp.asarray(rng.standard_normal(8), jnp.float32)
+        patches = jnp.asarray(rng.standard_normal((2, 16, 8)), jnp.float32)
+        sal_g = rollout_saliency([attn], (32, 32), query_embedding=q, patch_embeddings=patches)
+        assert not np.allclose(np.asarray(sal), np.asarray(sal_g))
+
+
+class TestCausal:
+    def test_saliency_rank_tie_semantics(self):
+        # ties: higher flat index ranks first (reference flip-of-argsort)
+        exp = jnp.asarray([[1.0, 2.0], [2.0, 0.0]])
+        ranks = np.asarray(saliency_rank(exp))
+        # values flat: [1, 2, 2, 0]; order desc with tie->higher index first:
+        # idx2 (2.0), idx1 (2.0), idx0 (1.0), idx3 (0.0)
+        assert ranks[2] == 0 and ranks[1] == 1 and ranks[0] == 2 and ranks[3] == 3
+
+    def test_scores_match_numpy_oracle(self):
+        rng = np.random.default_rng(0)
+        h = w = 8
+        img = rng.random((h, w, 3)).astype(np.float32)
+        sal = rng.random((h, w)).astype(np.float32)
+        step = 16
+        q_img = rng.random((h, w, 3)).astype(np.float32)
+
+        # numpy oracle: reference-style in-place deletion loop
+        def np_embed(x):
+            return np.asarray(toy_embed_fn({}, jnp.asarray(x)))
+
+        q_feat = np_embed(q_img[None])[0]
+        order = np.argsort(sal.reshape(-1), kind="stable")[::-1]
+        start = img.copy().reshape(-1, 3)
+        finish = np.zeros_like(start)
+        hw = h * w
+        n_steps = -(-hw // step)
+        expected = []
+        for i in range(n_steps + 1):
+            e = np_embed(start.reshape(1, h, w, 3))[0]
+            expected.append(float(np.dot(e, q_feat)))
+            if i < n_steps:
+                coords = order[step * i : step * (i + 1)]
+                start[coords] = finish[coords]
+
+        ranks = saliency_rank(jnp.asarray(sal))
+        got = np.asarray(
+            causal_scores(
+                toy_embed_fn, {}, jnp.asarray(q_feat), jnp.asarray(img),
+                jnp.zeros((h, w, 3)), ranks, step, batch_steps=4,
+            )
+        )
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+    def test_run_causal_metric_del_and_ins(self):
+        rng = np.random.default_rng(1)
+        img = rng.random((8, 8, 3)).astype(np.float32)
+        qimg = img.copy()
+        sal = rng.random((8, 8)).astype(np.float32)
+        a_del, z_del, s_del = run_causal_metric(
+            toy_embed_fn, {}, jnp.asarray(qimg), jnp.asarray(img), sal,
+            "del", zeros_substrate, step=16, batch_steps=4,
+        )
+        assert s_del[0] == pytest.approx(1.0, abs=1e-5)  # identical pair
+        assert 0.0 <= a_del <= 1.0
+        a_ins, _, s_ins = run_causal_metric(
+            toy_embed_fn, {}, jnp.asarray(qimg), jnp.asarray(img), sal,
+            "ins", zeros_substrate, step=16, batch_steps=4,
+        )
+        assert s_ins[-1] == pytest.approx(1.0, abs=1e-5)  # fully restored
+
+    def test_auc_trapezoid(self):
+        assert auc(np.linspace(0, 1, 5)) == pytest.approx(0.5)
+
+
+class TestBlur:
+    def test_gkern_normalized(self):
+        k = gkern(51)
+        assert k.shape == (51, 51)
+        assert k.sum() == pytest.approx(1.0, abs=1e-3)
+
+    def test_blur_preserves_mean(self):
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+        blurred = gaussian_blur(img, 21, 3.0)
+        assert blurred.shape == img.shape
+        # interior mean approximately preserved
+        assert float(jnp.mean(blurred[:, 20:44, 20:44])) == pytest.approx(
+            float(jnp.mean(img[:, 20:44, 20:44])), abs=0.05
+        )

@@ -1,0 +1,140 @@
+"""Insertion/deletion saliency evaluation CLI — the reference
+evaluate_saliency.py / evaluate_test_dataset_milvus.py equivalent.
+
+Per query: retrieve top-k, load/compute saliency per pair, run deletion
+(substrate zeros) and insertion (gaussian blur) causal metrics, aggregate per
+class, save incremental JSON (reference evaluate_test_dataset_milvus.py:
+428-437 substrates, 577-584 incremental save, 688-700 quality heuristics).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from .common import add_dataset_args, add_model_args, build_dataset, build_model, jitted_embed
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="xmir-tpu insertion/deletion eval")
+    add_dataset_args(p)
+    add_model_args(p)
+    p.add_argument("--split", default="test", choices=["train", "val", "test"])
+    p.add_argument("--saliency-dir", default="",
+                   help="Precomputed maps (sal_q{q}_r{r}.npy); computed on the fly when empty")
+    p.add_argument("--explainer", default="sbsm", choices=["sbsm"])
+    p.add_argument("--window-size", default=24, type=int)
+    p.add_argument("--stride", default=5, type=int)
+    p.add_argument("--gpu-batch", default=128, type=int)
+    p.add_argument("--top-k", default=5, type=int)
+    p.add_argument("--step", default=1000, type=int,
+                   help="Pixels per ins/del step (reference milvus driver uses 1000)")
+    p.add_argument("--limit", default=0, type=int)
+    p.add_argument("--save-every", default=10, type=int)
+    p.add_argument("--output", default="insertion_deletion_results.json")
+    args = p.parse_args(argv)
+
+    from ..data import eval_preprocess
+    from ..data.pipeline import embed_dataset
+    from ..index import ShardedGalleryIndex
+    from ..metrics.saliency import saliency_quality
+    from ..xai import (
+        blur_substrate,
+        generate_masks,
+        run_causal_metric,
+        sbsm_pair_saliency,
+        zeros_substrate,
+    )
+
+    dataset = build_dataset(args, args.split)
+    model, spec, variables = build_model(args, train=False)
+    embed = jitted_embed(model)
+    size = spec.input_size
+
+    def prep(imgs):
+        return eval_preprocess(imgs, spec.resize_size, size, spec.mean, spec.std)
+
+    print(f">> embedding {len(dataset)} gallery images ...")
+    embeds, labels = embed_dataset(dataset, embed, variables, spec)
+    idx = ShardedGalleryIndex(embeds.shape[1])
+    idx.add(embeds, labels, [str(n) for n in dataset.image_names])
+    idx.build()
+    _, topk_ids = idx.search(
+        embeds, k=args.top_k, exclude_ids=np.arange(len(dataset))
+    )
+    topk_ids = np.asarray(topk_ids)
+
+    masks = jnp.asarray(generate_masks(size, args.window_size, args.stride))
+    blur = blur_substrate()
+    n_q = min(args.limit or len(dataset), len(dataset))
+
+    results = []
+    for qi in range(n_q):
+        q_img = prep(dataset.load_image(qi)[None])
+        r_raw = np.stack([dataset.load_image(int(r)) for r in topk_ids[qi]])
+        r_imgs = prep(r_raw)
+        if args.saliency_dir:
+            sals = [
+                np.load(os.path.join(
+                    args.saliency_dir, f"sal_q{qi:05d}_r{int(r):05d}.npy"))
+                for r in topk_ids[qi]
+            ]
+        else:
+            sal = sbsm_pair_saliency(
+                embed, variables, q_img, r_imgs, masks, chunk=args.gpu_batch
+            )
+            sals = [np.asarray(sal[0, j]) for j in range(len(topk_ids[qi]))]
+
+        del_aucs, ins_aucs = [], []
+        for j in range(len(topk_ids[qi])):
+            a_del, _, _ = run_causal_metric(
+                embed, variables, q_img[0], r_imgs[j], sals[j], "del",
+                zeros_substrate, step=args.step,
+            )
+            a_ins, _, _ = run_causal_metric(
+                embed, variables, q_img[0], r_imgs[j], sals[j], "ins",
+                blur, step=args.step,
+            )
+            del_aucs.append(a_del)
+            ins_aucs.append(a_ins)
+        rec = {
+            "query_index": qi,
+            "query_label": np.asarray(dataset.labels[qi]).tolist(),
+            "retrieved": topk_ids[qi].tolist(),
+            "deletion_auc": float(np.mean(del_aucs)),
+            "insertion_auc": float(np.mean(ins_aucs)),
+            "per_pair_del": [float(a) for a in del_aucs],
+            "per_pair_ins": [float(a) for a in ins_aucs],
+        }
+        rec["good_saliency"] = saliency_quality(
+            rec["deletion_auc"], rec["insertion_auc"]
+        )
+        results.append(rec)
+        if (qi + 1) % args.save_every == 0 or qi == n_q - 1:
+            _save(args.output, results)
+            print(f">> [{qi + 1}/{n_q}] del={rec['deletion_auc']:.3f} "
+                  f"ins={rec['insertion_auc']:.3f}")
+
+    mean_del = float(np.mean([r["deletion_auc"] for r in results]))
+    mean_ins = float(np.mean([r["insertion_auc"] for r in results]))
+    print(f">> mean deletion AUC {mean_del:.4f} (good < 0.6), "
+          f"mean insertion AUC {mean_ins:.4f} (good > 0.7)")
+    _save(args.output, results, summary={
+        "mean_deletion_auc": mean_del, "mean_insertion_auc": mean_ins,
+        "n_queries": len(results),
+    })
+
+
+def _save(path, results, summary=None):
+    payload = {"results": results}
+    if summary:
+        payload["summary"] = summary
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

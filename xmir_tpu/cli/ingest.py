@@ -1,0 +1,52 @@
+"""Gallery ingestion CLI — replaces the reference's Milvus ingestion
+(ingest_embeddings.py:1-599, ingest_nih_gallery_zilliz.py): embed the gallery
+set and persist a ShardedGalleryIndex .npz artifact (embeddings + labels +
+paths) instead of inserting into a remote vector DB.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+from .common import add_dataset_args, add_model_args, build_dataset, build_model, jitted_embed
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="xmir-tpu gallery ingestion")
+    add_dataset_args(p)
+    add_model_args(p)
+    p.add_argument("--split", default="train", choices=["train", "val", "test"])
+    p.add_argument("--batch-size", default=64, type=int)
+    p.add_argument("-j", "--workers", default=8, type=int)
+    p.add_argument("--metric", default="cosine",
+                   choices=["cosine", "ip", "l2", "hamming"])
+    p.add_argument("--output", default="gallery.npz",
+                   help="Index artifact path (.npz)")
+    args = p.parse_args(argv)
+
+    from ..data.pipeline import embed_dataset
+    from ..index import ShardedGalleryIndex
+
+    dataset = build_dataset(args, args.split)
+    model, spec, variables = build_model(args, train=False)
+    embed = jitted_embed(model)
+
+    t0 = time.time()
+    embeds, labels = embed_dataset(
+        dataset, embed, variables, spec,
+        batch_size=args.batch_size, num_workers=args.workers,
+    )
+    dt = time.time() - t0
+    print(f">> embedded {len(dataset)} images in {dt:.1f}s "
+          f"({len(dataset) / dt:.1f} img/s)")
+
+    idx = ShardedGalleryIndex(embeds.shape[1], metric=args.metric)
+    idx.add(embeds, labels, [str(n) for n in dataset.image_names])
+    idx.build()
+    idx.save(args.output)
+    print(f">> index saved: {args.output} ({idx.ntotal} vectors, "
+          f"dim={embeds.shape[1]}, metric={args.metric})")
+
+
+if __name__ == "__main__":
+    main()

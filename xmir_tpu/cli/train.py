@@ -1,0 +1,214 @@
+"""Metric-learning training CLI — the reference train.py equivalent.
+
+Reference flow (train.py:645-1260): model select, loss auto-select, PK batch
+sampling, Adam + grad-clip 5.0 with backbone/head LR groups, eval-every-N
+with cosine mAP/R@K, best-mAP checkpointing. DDP is replaced by sharding the
+batch over the mesh data axis (XLA inserts the gradient psum).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import add_dataset_args, add_model_args, build_dataset, build_model, is_multilabel, jitted_embed
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="xmir-tpu embedding learning")
+    add_dataset_args(p)
+    add_model_args(p)
+    p.add_argument("--rand-resize", action="store_true")
+    p.add_argument("-p", "--labels-per-batch", default=3, type=int)
+    p.add_argument("-k", "--samples-per-label", default=16, type=int)
+    p.add_argument("--batch-size", default=None, type=int)
+    p.add_argument("--eval-batch-size", default=64, type=int)
+    p.add_argument("--epochs", default=20, type=int)
+    p.add_argument("--eval-freq", default=2, type=int)
+    p.add_argument("-j", "--workers", default=8, type=int)
+    p.add_argument("--lr", default=0.0001, type=float)
+    p.add_argument("--margin", default=0.2, type=float)
+    p.add_argument(
+        "--loss-name", default=None,
+        choices=["triplet", "triplet_hard", "weighted_multilabel_triplet",
+                 "jaccard_supcon", "supcon", "dual_branch"],
+    )
+    p.add_argument("--supcon-temperature", default=0.07, type=float)
+    p.add_argument("--dual-asl-alpha", default=1.0, type=float)
+    p.add_argument("--asl-gamma-pos", default=1.0, type=float)
+    p.add_argument("--asl-gamma-neg", default=4.0, type=float)
+    p.add_argument("--asl-clip", default=0.05, type=float)
+    p.add_argument("--print-freq", default=5, type=int)
+    p.add_argument("--save-dir", default="./checkpoints")
+    p.add_argument("--use-random-sampler", action="store_true")
+    p.add_argument("--weight-decay", default=0.0, type=float)
+    p.add_argument("--backbone-lr-scale", default=0.1, type=float)
+    p.add_argument("--freeze-backbone", action="store_true")
+    p.add_argument("--use-mesh", action="store_true",
+                   help="Shard batches over all local devices (data parallel)")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    return p.parse_args(argv)
+
+
+def select_loss(args) -> str:
+    if args.loss_name:
+        return args.loss_name
+    from ..losses import auto_select_loss
+
+    return auto_select_loss(args.dataset, args.model)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    np.random.seed(args.seed)
+
+    train_ds = build_dataset(args, "train")
+    try:
+        val_ds = build_dataset(args, "val")
+    except (FileNotFoundError, ValueError):
+        val_ds = None
+        print(">> no validation manifest found; skipping in-training eval")
+
+    model, spec, variables = build_model(args, train=True)
+    loss_name = select_loss(args)
+    print(f">> model={args.model} loss={loss_name} dataset={args.dataset}")
+
+    from ..data import PKSampler, batch_iterator, preprocess_for_spec
+    from ..train import (
+        build_optimizer,
+        create_train_state,
+        make_dual_branch_train_step,
+        make_embedding_train_step,
+    )
+    from ..utils import BestCheckpointPolicy
+
+    tx = build_optimizer(
+        variables["params"],
+        lr=args.lr,
+        backbone_lr_scale=args.backbone_lr_scale,
+        weight_decay=args.weight_decay,
+        frozen_predicate=(lambda p: p.startswith("backbone"))
+        if args.freeze_backbone
+        else None,
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(args.seed), None, tx, variables=variables
+    )
+
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if loss_name == "dual_branch":
+        step_fn = make_dual_branch_train_step(
+            model,
+            asl_alpha=args.dual_asl_alpha,
+            temperature=args.supcon_temperature,
+            gamma_pos=args.asl_gamma_pos,
+            gamma_neg=args.asl_gamma_neg,
+            clip=args.asl_clip,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        kwargs = {}
+        if loss_name in ("triplet", "triplet_hard"):
+            kwargs["margin"] = args.margin
+        elif loss_name == "weighted_multilabel_triplet":
+            kwargs["margin"] = args.margin
+        elif loss_name in ("supcon", "jaccard_supcon"):
+            kwargs["temperature"] = args.supcon_temperature
+        step_fn = make_embedding_train_step(
+            model, loss_name, kwargs, compute_dtype=compute_dtype
+        )
+    step = jax.jit(step_fn)
+
+    mesh = None
+    if args.use_mesh:
+        from ..parallel import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh()
+        state = jax.device_put(state, replicated(mesh))
+        print(f">> data-parallel over {mesh.shape} mesh")
+
+    batch_size = args.batch_size or args.labels_per_batch * args.samples_per_label
+    multilabel = is_multilabel(args.dataset)
+    rng = jax.random.PRNGKey(args.seed)
+
+    policy = BestCheckpointPolicy(
+        args.save_dir,
+        dict(
+            dataset=args.dataset, model=args.model,
+            embedding_dim=args.embedding_dim, anomaly=args.anomaly,
+            rand_resize=args.rand_resize, seed=args.seed,
+        ),
+    )
+
+    for epoch in range(1, args.epochs + 1):
+        if args.use_random_sampler or multilabel:
+            indices = np.random.permutation(len(train_ds)).tolist()
+        else:
+            sampler = PKSampler(
+                list(train_ds.labels), args.labels_per_batch,
+                args.samples_per_label, seed=args.seed + epoch,
+            )
+            indices = list(sampler)
+        t0 = time.time()
+        step_losses = []
+        for i, (imgs, labs, _) in enumerate(
+            batch_iterator(
+                train_ds, batch_size, indices=indices,
+                image_size=spec.resize_size, num_workers=args.workers,
+                drop_last=True,
+            )
+        ):
+            rng, krng = jax.random.split(rng)
+            x = preprocess_for_spec(
+                imgs, spec, train=True, rng=krng, rand_resize=args.rand_resize
+            )
+            labels = jnp.asarray(np.asarray(labs))
+            if mesh is not None:
+                from ..parallel import batch_sharding
+
+                x = jax.device_put(x, batch_sharding(mesh))
+                labels = jax.device_put(labels, batch_sharding(mesh))
+            state, metrics = step(state, x, labels)
+            if i % args.print_freq == 0:
+                loss = float(metrics["loss"])
+                step_losses.append(loss)
+                print(f"epoch {epoch} step {i}: loss {loss:.4f}")
+        print(f">> epoch {epoch} done in {time.time() - t0:.1f}s")
+
+        if val_ds is not None and epoch % args.eval_freq == 0:
+            from ..data.pipeline import embed_dataset
+            from ..metrics import train_eval_multilabel, train_eval_single_label
+
+            embed = jitted_embed(model)
+            eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+            embeds, labels = embed_dataset(
+                val_ds, embed, eval_vars, spec,
+                batch_size=args.eval_batch_size, num_workers=args.workers,
+            )
+            m = (
+                train_eval_multilabel(embeds, labels)
+                if multilabel
+                else train_eval_single_label(embeds, labels)
+            )
+            print(
+                f">> val: mAP={m['mAP']:.3f}% R@1={m['R@1']:.3f}% "
+                f"R@5={m['R@5']:.3f}% R@10={m['R@10']:.3f}%"
+            )
+            saved = policy.update(
+                epoch, m["mAP"],
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "opt_state": state.opt_state, "step": state.step},
+            )
+            if saved:
+                print(f">> new best mAP {m['mAP']:.3f}% -> {saved}")
+
+    print(f">> training complete; best mAP {policy.best_metric:.3f}% "
+          f"(epoch {policy.best_epoch})")
+    return policy.best_metric
+
+
+if __name__ == "__main__":
+    main()

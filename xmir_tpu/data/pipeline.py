@@ -1,0 +1,119 @@
+"""Host-side input pipeline: parallel decode workers + device prefetch.
+
+The reference leans on torch DataLoader workers; here a thread pool decodes
+images to uint8 batches while the TPU runs the previous step, and
+`prefetch_to_device` keeps a small queue of device-resident batches. Decode
+stays on host; resize/normalize run on device (data/transforms.py), so host
+work is only file IO + PIL decode.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def _decode_batch(dataset, indices: Sequence[int], image_size: Optional[int]):
+    from PIL import Image
+
+    imgs = []
+    for i in indices:
+        arr = dataset.load_image(i)
+        if image_size is not None and arr.shape[:2] != (image_size, image_size):
+            arr = np.asarray(
+                Image.fromarray(arr).resize((image_size, image_size), Image.BILINEAR),
+                dtype=np.uint8,
+            )
+        imgs.append(arr)
+    labels = np.asarray([dataset.labels[i] for i in indices])
+    return np.stack(imgs), labels, np.asarray(indices)
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    *,
+    indices: Optional[Iterable[int]] = None,
+    image_size: Optional[int] = None,
+    num_workers: int = 8,
+    drop_last: bool = False,
+) -> Iterator[tuple]:
+    """Yield (uint8 images (B, S, S, 3), labels, indices) with parallel decode.
+
+    `indices` may be any index stream (e.g. PKSampler). `image_size` is the
+    HOST decode size — pick >= the model's resize_size so device-side resize
+    only ever downsamples.
+    """
+    if indices is None:
+        indices = range(len(dataset))
+    idx_list = list(indices)
+    batches: List[List[int]] = [
+        idx_list[i : i + batch_size] for i in range(0, len(idx_list), batch_size)
+    ]
+    if drop_last and batches and len(batches[-1]) < batch_size:
+        batches.pop()
+    if not batches:
+        return
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        futures = [
+            pool.submit(_decode_batch, dataset, b, image_size) for b in batches
+        ]
+        for fut in futures:
+            yield fut.result()
+
+
+def prefetch_to_device(iterator: Iterator, size: int = 2) -> Iterator:
+    """Stage host batches onto the device ahead of consumption."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(jax.tree_util.tree_map(jax.device_put, item))
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+
+
+def embed_dataset(
+    dataset,
+    embed_fn,
+    variables,
+    spec,
+    batch_size: int = 64,
+    num_workers: int = 8,
+):
+    """Embed every item: the test.py/ingest hot loop (test.py:1070-1078,
+    ingest_embeddings.py:278-316). Pads the tail batch for one compiled shape.
+
+    Returns (embeddings (N, D) float32 np, labels np array).
+    """
+    from .transforms import eval_preprocess
+
+    host_size = spec.resize_size
+    embeds, labels = [], []
+    n = len(dataset)
+    for imgs, labs, idxs in batch_iterator(
+        dataset, batch_size, image_size=host_size, num_workers=num_workers
+    ):
+        real = imgs.shape[0]
+        if real < batch_size:
+            pad = batch_size - real
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+        x = eval_preprocess(imgs, spec.resize_size, spec.input_size, spec.mean, spec.std)
+        e = embed_fn(variables, x)
+        embeds.append(np.asarray(e[:real]))
+        labels.extend(np.asarray(labs).tolist())
+    return np.concatenate(embeds, axis=0), np.asarray(labels)

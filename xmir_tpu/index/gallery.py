@@ -1,0 +1,265 @@
+"""ShardedGalleryIndex — the HBM-resident replacement for Milvus/Zilliz.
+
+The reference stores gallery embeddings in an external vector database reached
+over gRPC (milvus/milvus_setup.py:116-137) and searches with approximate IVF
+indexes (nlist=1024, nprobe=10). Here the gallery lives as a device array
+sharded row-wise over the mesh `data` axis; search is an EXACT fused
+similarity+top-K (ops/topk_pallas.py on TPU, ops/topk.py everywhere), and the
+cross-shard merge is one small top-K over n_dev*k candidates. Labels and
+image paths stay host-side, mirroring the Milvus scalar fields
+(milvus_setup.py:169-176 schema: id | image_path | label | embedding).
+
+Metrics: cosine / ip / l2 / hamming, matching MilvusManager's COSINE/L2/IP
+(milvus_setup.py:191-222) plus the faiss/Hamming ATH path (ATH.py:398-431).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.topk import exclude_self_topk, tiled_topk
+from ..ops.topk_pallas import fused_topk
+from ..parallel.mesh import DATA_AXIS, gallery_sharding
+
+_DISTANCE_CONVERSIONS = {
+    # score -> (distance, similarity) per metric, matching
+    # milvus/milvus_retrieval.py:94-109
+    "cosine": lambda s: (1.0 - s, s),
+    "ip": lambda s: (-s, s),
+    "l2": lambda s: (-s, 1.0 / (1.0 + (-s))),
+    "hamming": lambda s: (-s, 1.0 - (-s)),
+}
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+class ShardedGalleryIndex:
+    """In-HBM exact vector index.
+
+    Usage:
+      idx = ShardedGalleryIndex(dim=1024, metric="cosine")
+      idx.add(embeddings, labels=..., paths=...)   # host-side staging
+      idx.build(mesh=None)                          # device placement
+      vals, ids = idx.search(queries, k=10)
+      hits = idx.search_with_metadata(queries, k=10)
+    """
+
+    def __init__(self, dim: int, metric: str = "cosine", dtype=jnp.float32):
+        self.dim = dim
+        self.metric = metric
+        self.dtype = dtype
+        self._staged: List[np.ndarray] = []
+        self._labels: List = []
+        self._paths: List[str] = []
+        self._device_embeds = None
+        self._mesh = None
+        self._n = 0
+
+    # ------------------------------------------------------------- ingest
+    def add(
+        self,
+        embeddings: np.ndarray,
+        labels: Optional[Sequence] = None,
+        paths: Optional[Sequence[str]] = None,
+    ):
+        embeddings = np.asarray(embeddings, dtype=np.float32)
+        if embeddings.ndim != 2 or embeddings.shape[1] != self.dim:
+            raise ValueError(
+                f"expected (N, {self.dim}) embeddings, got {embeddings.shape}"
+            )
+        n = embeddings.shape[0]
+        self._staged.append(embeddings)
+        self._labels.extend(labels if labels is not None else [None] * n)
+        self._paths.extend(paths if paths is not None else [""] * n)
+        self._device_embeds = None  # invalidate built state
+
+    @property
+    def ntotal(self) -> int:
+        return sum(a.shape[0] for a in self._staged)
+
+    @property
+    def labels(self) -> np.ndarray:
+        return np.asarray(self._labels)
+
+    @property
+    def paths(self) -> List[str]:
+        return list(self._paths)
+
+    # ------------------------------------------------------------- build
+    def build(self, mesh=None):
+        """Concatenate staged rows and place them in device HBM, sharded
+        row-wise over the mesh `data` axis when a mesh is given."""
+        if not self._staged:
+            raise ValueError("index is empty")
+        host = np.concatenate(self._staged, axis=0)
+        self._n = host.shape[0]
+        self._mesh = mesh
+        if mesh is not None:
+            n_data = mesh.shape[DATA_AXIS]
+            pad = (-self._n) % n_data
+            if pad:
+                host = np.concatenate(
+                    [host, np.zeros((pad, self.dim), host.dtype)], axis=0
+                )
+            self._device_embeds = jax.device_put(
+                jnp.asarray(host, self.dtype), gallery_sharding(mesh)
+            )
+        else:
+            self._device_embeds = jnp.asarray(host, self.dtype)
+        return self
+
+    def _require_built(self):
+        if self._device_embeds is None:
+            self.build(self._mesh)
+
+    # ------------------------------------------------------------- search
+    def search(self, queries, k: int, exclude_ids=None):
+        """Exact top-k. Returns (values (Q, k) f32, indices (Q, k) i32).
+
+        exclude_ids: optional (Q,) gallery ids to drop per query (self-match
+        exclusion for in-gallery queries; reference test.py:1081 semantics).
+        """
+        self._require_built()
+        if k > self._n:
+            raise ValueError(f"k={k} > index size {self._n}")
+        queries = jnp.asarray(queries, self.dtype)
+        fetch = k + 1 if exclude_ids is not None else k
+        fetch = min(fetch, self._n)
+        if self._mesh is not None:
+            vals, idxs = self._search_sharded(queries, fetch)
+        elif _use_pallas():
+            vals, idxs = fused_topk(queries, self._device_embeds, fetch, self.metric)
+        else:
+            vals, idxs = tiled_topk(
+                queries, self._device_embeds, fetch, metric=self.metric,
+                valid_count=self._n,
+            )
+        if exclude_ids is not None:
+            vals, idxs = exclude_self_topk(vals, idxs, exclude_ids, k)
+        return vals, idxs
+
+    def _search_sharded(self, queries, k: int):
+        """Per-shard local top-k via shard_map, then a tiny cross-shard merge.
+
+        No (Q, N) matrix and no full-gallery gather ever materializes; the
+        inter-device traffic is exactly n_dev * Q * k (value, index) pairs.
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self._mesh
+        n_dev = mesh.shape[DATA_AXIS]
+        shard_rows = self._device_embeds.shape[0] // n_dev
+        n_real = self._n
+        metric = self.metric
+
+        def local_search(q, g_shard):
+            # g_shard: (shard_rows, D); compute local validity from shard id
+            shard_id = jax.lax.axis_index(DATA_AXIS)
+            base = shard_id * shard_rows
+            valid = jnp.clip(n_real - base, 0, shard_rows)
+            kk = min(k, shard_rows)
+            vals, idxs = tiled_topk(
+                q, g_shard, kk, metric=metric, valid_count=valid,
+                pvary_axis=DATA_AXIS,
+            )
+            if kk < k:  # pad so every shard returns k candidates
+                pad = k - kk
+                vals = jnp.concatenate(
+                    [vals, jnp.full((vals.shape[0], pad), -jnp.inf)], axis=1
+                )
+                idxs = jnp.concatenate(
+                    [idxs, jnp.zeros((idxs.shape[0], pad), jnp.int32)], axis=1
+                )
+            return vals, idxs + base
+
+        f = shard_map(
+            local_search,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, None)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        )
+        vals, idxs = f(queries, self._device_embeds)  # (n_dev*Q, k) stacked
+        q = queries.shape[0]
+        vals = vals.reshape(n_dev, q, k).transpose(1, 0, 2).reshape(q, n_dev * k)
+        idxs = idxs.reshape(n_dev, q, k).transpose(1, 0, 2).reshape(q, n_dev * k)
+        # order candidates by gallery index for exact tie semantics, then top-k
+        order = jnp.argsort(idxs, axis=1, stable=True)
+        vals = jnp.take_along_axis(vals, order, axis=1)
+        idxs = jnp.take_along_axis(idxs, order, axis=1)
+        v, pos = jax.lax.top_k(vals, k)
+        i = jnp.take_along_axis(idxs, pos, axis=1)
+        return v, i
+
+    def full_ranking(self, queries):
+        """(Q, N) scores + ranks — the reference's top_k=0 full-gallery mode
+        (query_nih_zilliz.py:53). Materializes O(Q*N)."""
+        from ..ops.topk import full_ranking
+
+        self._require_built()
+        host = jnp.asarray(np.concatenate(self._staged, axis=0), self.dtype)
+        return full_ranking(jnp.asarray(queries, self.dtype), host, self.metric)
+
+    def search_with_metadata(self, queries, k: int):
+        """MilvusRetriever.search-compatible results
+        (milvus/milvus_retrieval.py:79-120): list of per-query hit lists of
+        {image_path, label, distance, similarity, id}."""
+        vals, idxs = self.search(queries, k)
+        vals = np.asarray(vals)
+        idxs = np.asarray(idxs)
+        convert = _DISTANCE_CONVERSIONS[self.metric]
+        labels = self.labels
+        results = []
+        for qi in range(vals.shape[0]):
+            hits = []
+            for v, i in zip(vals[qi], idxs[qi]):
+                dist, sim = convert(float(v))
+                hits.append(
+                    {
+                        "id": int(i),
+                        "image_path": self._paths[int(i)],
+                        "label": labels[int(i)].item()
+                        if hasattr(labels[int(i)], "item")
+                        else labels[int(i)],
+                        "distance": dist,
+                        "similarity": sim,
+                    }
+                )
+            results.append(hits)
+        return results
+
+    # ------------------------------------------------------------- persist
+    def save(self, path: str):
+        """npz artifact (embeddings/labels/paths + metadata json)."""
+        self._require_built()
+        embeds = np.concatenate(self._staged, axis=0)
+        np.savez(
+            path,
+            embeds=embeds,
+            labels=np.asarray(self._labels),
+            paths=np.asarray(self._paths),
+            meta=json.dumps({"dim": self.dim, "metric": self.metric}),
+        )
+
+    @classmethod
+    def load(cls, path: str, mesh=None):
+        data = np.load(path, allow_pickle=True)
+        meta = json.loads(str(data["meta"]))
+        idx = cls(dim=meta["dim"], metric=meta["metric"])
+        idx.add(
+            data["embeds"],
+            labels=list(data["labels"]),
+            paths=[str(p) for p in data["paths"]],
+        )
+        idx.build(mesh)
+        return idx

@@ -50,25 +50,31 @@ def _merge_topk(vals, idxs, new_vals, new_idxs, k):
     return v, i
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "metric"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "metric", "pvary_axis"))
 def tiled_topk(
     queries: jnp.ndarray,
     gallery: jnp.ndarray,
     k: int,
     tile: int = 2048,
     metric: str = "cosine",
+    valid_count=None,
+    pvary_axis=None,
 ):
     """Exact top-k over the gallery.
 
     Returns (values (Q, k) float32, indices (Q, k) int32), sorted descending by
     score. Handles arbitrary N (internally pads to the tile size); indices of
-    padded rows never appear because their score is -inf.
+    padded rows never appear because their score is -inf. ``valid_count``
+    (traced scalar, default gallery length) marks trailing rows as padding —
+    used by the sharded index whose last shard may be partially filled.
     """
     n_real = gallery.shape[0]
     if k > n_real:
         raise ValueError(f"k={k} > gallery size {n_real}")
     tile = min(tile, _next_multiple(n_real, 128))
     gallery, n_real = _pad_gallery(gallery, tile)
+    if valid_count is not None:
+        n_real = valid_count
     n = gallery.shape[0]
     num_tiles = n // tile
     g_tiles = gallery.reshape(num_tiles, tile, gallery.shape[1])
@@ -76,6 +82,11 @@ def tiled_topk(
     q = queries
     init_vals = jnp.full((q.shape[0], k), NEG_INF, jnp.float32)
     init_idxs = jnp.zeros((q.shape[0], k), jnp.int32)
+    if pvary_axis is not None:
+        # under shard_map the scan carry must carry the manual axis' varying
+        # type to match the per-shard scores it merges with
+        init_vals = jax.lax.pcast(init_vals, (pvary_axis,), to="varying")
+        init_idxs = jax.lax.pcast(init_idxs, (pvary_axis,), to="varying")
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
 

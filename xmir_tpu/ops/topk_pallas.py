@@ -54,14 +54,19 @@ def _topk_kernel(q_ref, g_ref, bias_ref, vals_out, idxs_out, vals_s, idxs_s, *, 
 
     new_vals = vals_s[:]
     new_idxs = idxs_s[:]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, new_vals.shape, 1)
+    col_ids_f = col_ids.astype(jnp.float32)
+    combined_idx_f = combined_idx.astype(jnp.float32)
     # K passes of masked argmax; earlier positions win ties, and the running
-    # buffer sits before the tile, so lower gallery indices win.
+    # buffer sits before the tile, so lower gallery indices win. Mosaic only
+    # lowers float32 reductions, so the position/index selection runs in f32
+    # (exact for indices < 2^24; galleries are sharded well below that).
     for kk in range(k):
         m = jnp.max(combined, axis=1)
-        am = jnp.argmax(combined == m[:, None], axis=1)
-        onehot = col_ids == am[:, None]
-        sel_idx = jnp.sum(jnp.where(onehot, combined_idx, 0), axis=1)
-        kcol = jax.lax.broadcasted_iota(jnp.int32, new_vals.shape, 1)
+        eq = combined == m[:, None]
+        am = jnp.min(jnp.where(eq, col_ids_f, jnp.float32(3e9)), axis=1)
+        onehot = col_ids_f == am[:, None]
+        sel_idx = jnp.sum(jnp.where(onehot, combined_idx_f, 0.0), axis=1)
         new_vals = jnp.where(kcol == kk, m[:, None], new_vals)
         new_idxs = jnp.where(kcol == kk, sel_idx[:, None].astype(jnp.int32), new_idxs)
         combined = jnp.where(onehot, NEG_INF, combined)
@@ -102,6 +107,19 @@ def fused_topk_scores(
     tile_g = min(tile_g, _round_up(n_real, 128))
     q_pad = _round_up(q_n, 8)
     tile_q = min(tile_q, q_pad)
+
+    # clamp tiles to the ~16MB VMEM budget: double-buffered input blocks plus
+    # the score tile, merge buffers, and top-K scratch must fit
+    def vmem_bytes(tq, tg):
+        inputs = 2 * (tq * d_pad + tg * d_pad + tg)  # double-buffered
+        work = tq * tg + 2 * tq * (k_pad + tg) + 4 * tq * k_pad
+        return 4 * (inputs + work)
+
+    while tile_g > 128 and vmem_bytes(tile_q, tile_g) > 14 * 1024 * 1024:
+        tile_g //= 2
+    while tile_q > 8 and vmem_bytes(tile_q, tile_g) > 14 * 1024 * 1024:
+        tile_q //= 2
+
     q_pad = _round_up(q_n, tile_q)
     n_pad = _round_up(n_real, tile_g)
 

@@ -1,0 +1,220 @@
+"""pjit-able train/eval steps.
+
+One step function per training family, mirroring the reference loops:
+  single-embedding metric loss   train.py:47-148   (train_epoch)
+  dual-branch multi-label        nih_multilabel_retrieval.py:308-348
+  distillation (student/teacher) model.py:281-415 + cosine distill loss
+  conceptclip IT+RC align        train.py:221-397
+
+All steps are pure (state, batch) -> (state, metrics) functions; shard the
+batch over the mesh `data` axis and XLA inserts the gradient psum — the DDP
+allreduce equivalent (SURVEY.md §2.10). bf16 is applied to activations by
+casting inputs; params stay fp32 (TPU-native mixed precision, no GradScaler).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import (
+    asymmetric_loss,
+    conceptclip_loss,
+    jaccard_supcon_loss,
+    multilabel_contrastive_loss,
+    supcon_loss,
+    triplet_margin_loss,
+    weighted_multilabel_triplet_loss,
+)
+
+LOSS_FNS = {
+    "triplet": lambda e, l, **kw: triplet_margin_loss(e, l, **kw),
+    "triplet_hard": lambda e, l, **kw: triplet_margin_loss(e, l, mining="batch_hard", **kw),
+    "supcon": lambda e, l, **kw: (supcon_loss(e, l, **kw), jnp.asarray(0.0)),
+    "jaccard_supcon": lambda e, l, **kw: (jaccard_supcon_loss(e, l, **kw), jnp.asarray(0.0)),
+    "weighted_multilabel_triplet": lambda e, l, **kw: weighted_multilabel_triplet_loss(e, l, **kw),
+    "multilabel_contrastive": lambda e, l, **kw: (
+        multilabel_contrastive_loss(e, l, **kw),
+        jnp.asarray(0.0),
+    ),
+}
+
+
+def _apply(model, state, images, train, mutable):
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    if train and state.batch_stats:
+        out, updates = model.apply(
+            variables, images, train=True, mutable=["batch_stats"]
+        )
+        return out, updates.get("batch_stats", state.batch_stats)
+    out = model.apply(variables, images, train=train)
+    return out, state.batch_stats
+
+
+def make_embedding_train_step(
+    model,
+    loss_name: str = "triplet",
+    loss_kwargs: Optional[dict] = None,
+    compute_dtype=jnp.float32,
+):
+    """Generic metric-learning step (reference train_epoch, train.py:47-148)."""
+    loss_kwargs = loss_kwargs or {}
+    loss_fn = LOSS_FNS[loss_name]
+
+    def step(state, images, labels):
+        images = images.astype(compute_dtype)
+
+        def losses(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                out, updates = model.apply(
+                    variables, images, train=True, mutable=["batch_stats"]
+                )
+                new_stats = updates.get("batch_stats", state.batch_stats)
+            else:
+                out = model.apply(variables, images, train=True)
+                new_stats = state.batch_stats
+            emb = out["embedding"] if isinstance(out, dict) else out
+            loss, aux = loss_fn(emb.astype(jnp.float32), labels, **loss_kwargs)
+            return loss, (aux, new_stats)
+
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(losses, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads, new_stats)
+        return state, {"loss": loss, "aux": aux}
+
+    return step
+
+
+def make_dual_branch_train_step(
+    model,
+    contrastive_weight: float = 1.0,
+    asl_alpha: float = 1.0,
+    temperature: float = 0.07,
+    gamma_pos: float = 1.0,
+    gamma_neg: float = 4.0,
+    clip: float = 0.05,
+    compute_dtype=jnp.float32,
+):
+    """NIH dual-head step: Jaccard-weighted contrastive + alpha*ASL
+    (nih_multilabel_retrieval.py:308-348)."""
+
+    def step(state, images, labels):
+        images = images.astype(compute_dtype)
+
+        def losses(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(variables, images, train=True)
+            contrastive = multilabel_contrastive_loss(
+                out["embedding"].astype(jnp.float32), labels, temperature
+            )
+            asl = asymmetric_loss(
+                out["logits"].astype(jnp.float32), labels, gamma_pos, gamma_neg, clip
+            )
+            loss = contrastive_weight * contrastive + asl_alpha * asl
+            return loss, {"contrastive": contrastive, "asl": asl}
+
+        (loss, aux), grads = jax.value_and_grad(losses, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        return state, {"loss": loss, **aux}
+
+    return step
+
+
+def make_distill_train_step(
+    model,
+    loss_name: str = "triplet",
+    distill_weight: float = 1.0,
+    loss_kwargs: Optional[dict] = None,
+    compute_dtype=jnp.float32,
+):
+    """Student metric loss + cosine-distillation to the teacher embedding."""
+    loss_kwargs = loss_kwargs or {}
+    loss_fn = LOSS_FNS[loss_name]
+
+    def step(state, images, labels):
+        images = images.astype(compute_dtype)
+
+        def losses(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(variables, images, train=True)
+            emb = out["embedding"].astype(jnp.float32)
+            metric_loss, aux = loss_fn(emb, labels, **loss_kwargs)
+            t = out["teacher_embedding"].astype(jnp.float32)
+            # embeddings are L2-normalized; 1 - cosine == 0.5 * ||e - t||^2
+            distill = jnp.mean(1.0 - jnp.sum(emb * t, axis=1))
+            return metric_loss + distill_weight * distill, (aux, distill)
+
+        (loss, (aux, distill)), grads = jax.value_and_grad(losses, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads)
+        return state, {"loss": loss, "aux": aux, "distill": distill}
+
+    return step
+
+
+def make_conceptclip_train_step(model, alpha: float = 0.5, compute_dtype=jnp.float32):
+    """IT-Align + alpha*RC-Align on the dual encoder (train.py:221-397).
+    Batch: pixel_values, input_ids, attention_mask, concept tensors
+    (padded (B, W, Lc) token ids reduced to embeddings host-side is NOT done —
+    concepts are encoded in-graph through the text tower)."""
+
+    def step(state, pixel_values, input_ids, attention_mask, concept_ids, concept_mask):
+        pixel_values = pixel_values.astype(compute_dtype)
+
+        def losses(params):
+            variables = {"params": params}
+            out = model.apply(
+                variables, pixel_values, input_ids, attention_mask,
+                method=model.forward_clip,
+            )
+            b, w, lc = concept_ids.shape
+            flat_ids = concept_ids.reshape(b * w, lc)
+            flat_feats = model.apply(
+                variables, flat_ids, None, method=model.encode_text
+            )
+            concept_feats = flat_feats.reshape(b, w, -1)
+            total, it, rc = conceptclip_loss(
+                out["image_features"].astype(jnp.float32),
+                out["text_features"].astype(jnp.float32),
+                out["image_token_features"].astype(jnp.float32),
+                concept_feats.astype(jnp.float32),
+                concept_mask,
+                out["logit_scale"],
+                out["logit_bias"],
+                alpha=alpha,
+            )
+            return total, (it, rc)
+
+        (loss, (it, rc)), grads = jax.value_and_grad(losses, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        # post-step clamp of logit_scale to [0, ln 100] (train.py:361-367)
+        params = dict(state.params)
+        if "logit_scale" in params:
+            params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, 4.6052)
+            state = state.replace(params=type(state.params)(params))
+        return state, {"loss": loss, "it_loss": it, "rc_loss": rc}
+
+    return step
+
+
+def make_embed_fn(model, compute_dtype=jnp.float32):
+    """Inference embedding extractor (the test.py/ingest hot loop)."""
+
+    def embed(variables, images):
+        out = model.apply(variables, images.astype(compute_dtype), train=False)
+        emb = out["embedding"] if isinstance(out, dict) else out
+        return emb.astype(jnp.float32)
+
+    return embed

@@ -1,0 +1,17 @@
+from .sbsm import generate_masks, sbsm_pair_saliency, sbsm_self_saliency
+from .simatt import simatt_saliency
+from .simcam import (
+    point_specific_map,
+    simcam_decomposition,
+    simcam_maps,
+    simcam_vit_maps,
+)
+from .rollout import attention_rollout, rollout_saliency
+from .causal import (
+    blur_substrate,
+    causal_scores,
+    run_causal_metric,
+    saliency_rank,
+    zeros_substrate,
+)
+from .feature_heads import get_feature_head

@@ -1,0 +1,131 @@
+"""Insertion/deletion causal metrics as batched lax.map over reveal steps.
+
+Reference evaluation.py:46-138 runs one forward pass per step per
+query-retrieval pair, serially. Here all steps (and optionally all pairs) are
+batched: the image at step i is reconstructed from the saliency rank mask
+(pixels with rank < i*step come from `finish`, the rest from `start`) — no
+in-place pixel swapping, so every step is a pure function of (start, finish,
+order) and the whole curve is one vectorized computation.
+
+Semantics match the reference exactly:
+  n_steps = ceil(hw / step); scores[i] uses the image BEFORE step i's swap;
+  score = cosine(q_feat, embed(current)), negatives clipped to 0 and counted;
+  AUC = normalized trapezoid (metrics/saliency.py auc).
+  del: start=image, finish=substrate; ins: start=substrate(image), finish=image.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Literal, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics.saliency import auc as _auc_np
+
+
+def saliency_rank(explanation: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel rank in decreasing saliency order (0 = most salient).
+    explanation: (H, W) or (hw,) -> (hw,) int32 ranks.
+
+    Matches np.argsort + flip ordering from the reference (ties resolved by
+    later flat index first, because of the flip of a stable ascending sort).
+    """
+    flat = explanation.reshape(-1)
+    hw = flat.shape[0]
+    # reference: argsort ascending (stable) then reversed -> among ties, the
+    # HIGHEST flat index gets the best rank. Emulate: sort by (value, index)
+    # ascending, reverse.
+    asc = jnp.argsort(flat, stable=True)
+    desc = asc[::-1]
+    ranks = jnp.zeros(hw, jnp.int32).at[desc].set(jnp.arange(hw, dtype=jnp.int32))
+    return ranks
+
+
+@functools.partial(
+    jax.jit, static_argnames=("embed_fn", "step", "batch_steps")
+)
+def causal_scores(
+    embed_fn,
+    variables,
+    q_feat: jnp.ndarray,
+    start: jnp.ndarray,
+    finish: jnp.ndarray,
+    ranks: jnp.ndarray,
+    step: int,
+    batch_steps: int = 16,
+):
+    """Score curve for one pair. start/finish: (H, W, C) preprocessed images;
+    ranks: (hw,) from saliency_rank; q_feat: (D,).
+
+    Returns scores (n_steps+1,) float32 (unclipped cosine similarities).
+    """
+    h, w, c = start.shape
+    hw = h * w
+    n_steps = -(-hw // step)
+    rank_img = ranks.reshape(h, w)
+
+    step_ids = jnp.arange(n_steps + 1)
+    pad = (-(n_steps + 1)) % batch_steps
+    step_ids = jnp.concatenate([step_ids, jnp.zeros((pad,), step_ids.dtype)])
+    chunks = step_ids.reshape(-1, batch_steps)
+
+    def images_at(ids):
+        # pixel from `finish` when its rank < i*step
+        mask = rank_img[None] < (ids[:, None, None] * step)
+        return jnp.where(mask[..., None], finish[None], start[None])
+
+    def one_chunk(ids):
+        embs = embed_fn(variables, images_at(ids))  # (bs, D)
+        qn = q_feat / jnp.maximum(jnp.linalg.norm(q_feat), 1e-12)
+        en = embs / jnp.maximum(
+            jnp.linalg.norm(embs, axis=1, keepdims=True), 1e-12
+        )
+        return en @ qn
+
+    scores = jax.lax.map(one_chunk, chunks).reshape(-1)
+    return scores[: n_steps + 1]
+
+
+def run_causal_metric(
+    embed_fn,
+    variables,
+    query_image: jnp.ndarray,
+    retrieved_image: jnp.ndarray,
+    explanation,
+    mode: Literal["del", "ins"],
+    substrate_fn: Callable,
+    step: int = 224,
+    batch_steps: int = 16,
+) -> Tuple[float, int, np.ndarray]:
+    """Full single-pair run (reference CausalMetric.single_run,
+    evaluation.py:65-138). Returns (auc, zero_clip_count, clipped_scores)."""
+    q_feat = embed_fn(variables, query_image[None])[0]
+    if mode == "del":
+        start, finish = retrieved_image, substrate_fn(retrieved_image[None])[0]
+    elif mode == "ins":
+        start, finish = substrate_fn(retrieved_image[None])[0], retrieved_image
+    else:
+        raise ValueError("mode must be 'del' or 'ins'")
+    ranks = saliency_rank(jnp.asarray(explanation))
+    scores = np.asarray(
+        causal_scores(
+            embed_fn, variables, q_feat, start, finish, ranks, step, batch_steps
+        )
+    )
+    zero_cntr = int((scores < 0).sum())
+    clipped = np.clip(scores, 0.0, 1.0)
+    # reference clips only negative values (min=0); positive >1 can't occur
+    # for cosine, but keep exact clip(0, 1) as in evaluation.py:104-106
+    return _auc_np(clipped), zero_cntr, clipped
+
+
+def zeros_substrate(images):
+    return jnp.zeros_like(images)
+
+
+def blur_substrate(klen: int = 51, nsig: float = 50**0.5):
+    from ..ops.blur import gaussian_blur
+
+    return lambda images: gaussian_blur(images, klen, nsig)
