@@ -1,0 +1,204 @@
+"""ChestMIR two-stage tests: WBF/letterbox geometry, lesion canonicalization,
+rerank semantics (fallbacks, ordering), full two-stage eval on synthetic
+region data."""
+import numpy as np
+import pytest
+
+from xmir_tpu.chestmir import (
+    build_lesion_map,
+    canonical_lesion_name,
+    crop_box,
+    detections_with_tta_folds,
+    evaluate_rankings,
+    hflip_boxes,
+    letterbox_image,
+    letterbox_params,
+    nms,
+    rerank_with_adaptive_lesion,
+    rerank_with_specific_lesion,
+    similarity_to_ranks,
+    two_stage_eval,
+    weighted_boxes_fusion,
+    xywh2xyxy,
+)
+
+
+class TestLesionNames:
+    def test_aliases(self):
+        assert canonical_lesion_name("Nodule/Mass") == "nodule mass"
+        assert canonical_lesion_name("effusion") == "pleural effusion"
+        assert canonical_lesion_name("Pleural_Thickening") == "pleural thickening"
+        assert canonical_lesion_name("unknown thing") == "unknown thing"
+
+
+class TestGeometry:
+    def test_letterbox_params_square(self):
+        r, px, py, nh, nw = letterbox_params(640, 640, 640)
+        assert r == 1.0 and px == 0 and py == 0
+
+    def test_letterbox_roundtrip(self):
+        img = np.zeros((480, 320, 3), np.uint8)
+        out, (r, px, py) = letterbox_image(img, 640)
+        assert out.shape == (640, 640, 3)
+        # scaled height fills the canvas, width is padded
+        assert r == pytest.approx(640 / 480)
+
+    def test_xywh2xyxy(self):
+        b = np.array([[10.0, 10.0, 4.0, 6.0]])
+        np.testing.assert_allclose(xywh2xyxy(b), [[8, 7, 12, 13]])
+
+    def test_hflip_boxes(self):
+        b = np.array([[10.0, 5.0, 30.0, 25.0]])
+        np.testing.assert_allclose(hflip_boxes(b, 100), [[70, 5, 90, 25]])
+
+    def test_crop_box_clamps(self):
+        img = np.arange(100).reshape(10, 10).astype(np.uint8)
+        img = np.stack([img] * 3, -1)
+        crop = crop_box(img, (-5, -5, 20, 4))
+        assert crop.shape == (4, 10, 3)
+
+
+class TestNMSandWBF:
+    def test_nms_suppresses_overlaps(self):
+        boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], float)
+        scores = np.array([0.9, 0.8, 0.7])
+        keep = nms(boxes, scores, 0.5)
+        assert list(keep) == [0, 2]
+
+    def test_wbf_merges_cluster(self):
+        b1 = np.array([[0.10, 0.10, 0.30, 0.30]])
+        b2 = np.array([[0.12, 0.12, 0.32, 0.32]])
+        fb, fs, fl = weighted_boxes_fusion(
+            [b1, b2], [np.array([0.8]), np.array([0.6])],
+            [np.array([0]), np.array([0])], iou_thr=0.4,
+        )
+        assert len(fb) == 1
+        # confidence-weighted average
+        expected = (b1[0] * 0.8 + b2[0] * 0.6) / 1.4
+        np.testing.assert_allclose(fb[0], expected, atol=1e-9)
+        assert fs[0] == pytest.approx(0.7)  # avg * 2/2 models
+
+    def test_wbf_downweights_single_model_boxes(self):
+        b1 = np.array([[0.1, 0.1, 0.3, 0.3]])
+        fb, fs, _ = weighted_boxes_fusion(
+            [b1, np.zeros((0, 4))], [np.array([0.8]), np.zeros(0)],
+            [np.array([0]), np.zeros(0, int)], iou_thr=0.4,
+        )
+        assert fs[0] == pytest.approx(0.4)  # 0.8 * 1/2 models
+
+    def test_detector_tta_pipeline(self):
+        img = np.zeros((480, 320, 3), np.uint8)
+
+        def fake_detector(lb_img):
+            # one box around the letterboxed center
+            return (np.array([[300.0, 300.0, 340.0, 340.0]]),
+                    np.array([0.9]), np.array([0]))
+
+        dets = detections_with_tta_folds(
+            img, [fake_detector], img_size=640, score_thres=0.1
+        )
+        assert len(dets) >= 1
+        d = dets[0]
+        assert d["class_name"] == "Aortic enlargement"
+        assert 0 <= d["x1"] < d["x2"] <= 320
+        assert 0 <= d["y1"] < d["y2"] <= 480
+
+
+def _unit(v):
+    return v / np.linalg.norm(v)
+
+
+class TestRerank:
+    def _setup(self, rng):
+        # 6 images, 2 classes; globals cluster by class
+        centers = np.array([[4.0, 0, 0], [0, 4.0, 0]])
+        labels = np.array([0, 0, 0, 1, 1, 1])
+        g = centers[labels] + rng.standard_normal((6, 3)) * 0.1
+        return g, labels
+
+    def test_build_lesion_map_canonicalizes(self):
+        m = build_lesion_map(
+            [
+                {"label": "Nodule/Mass", "vector": [1.0, 0.0]},
+                {"label": "mass", "vector": [0.0, 1.0]},
+            ]
+        )
+        assert list(m) == ["nodule mass"]
+        assert len(m["nodule mass"]) == 2
+        np.testing.assert_allclose(np.linalg.norm(m["nodule mass"][0]), 1.0)
+
+    def test_fallback_when_query_lacks_lesion(self, rng):
+        g, labels = self._setup(rng)
+        gn = g / np.linalg.norm(g, axis=1, keepdims=True)
+        sim = gn @ gn.T
+        maps = [dict() for _ in range(6)]  # nobody has lesions
+        ranks, stats = rerank_with_specific_lesion(sim, maps, "cardiomegaly", 5, 0.7)
+        np.testing.assert_array_equal(ranks, similarity_to_ranks(sim))
+        assert stats["queries_fallback_global"] == 6
+        assert stats["queries_reranked"] == 0
+
+    def test_rerank_promotes_lesion_match(self, rng):
+        g, labels = self._setup(rng)
+        gn = g / np.linalg.norm(g, axis=1, keepdims=True)
+        sim = gn @ gn.T
+        # query 0 and image 2 share an identical lesion vector; image 1 lacks it
+        shared = _unit(np.array([1.0, 2.0, 3.0]))
+        maps = [dict() for _ in range(6)]
+        maps[0] = {"cardiomegaly": [shared]}
+        maps[2] = {"cardiomegaly": [shared]}
+        ranks, stats = rerank_with_specific_lesion(
+            sim, maps, "cardiomegaly", rerank_topk=5, global_weight=0.1
+        )
+        # queries 0 and 2 both carry the lesion -> both rerank
+        assert stats["queries_reranked"] == 2
+        # image 2 (region cos=1) should outrank image 1 (no lesion, score -1)
+        order = list(ranks[:, 0])
+        assert order.index(2) < order.index(1)
+
+    def test_adaptive_prefers_most_detected(self, rng):
+        g, labels = self._setup(rng)
+        gn = g / np.linalg.norm(g, axis=1, keepdims=True)
+        sim = gn @ gn.T
+        v = _unit(np.array([1.0, 0.0, 0.0]))
+        maps = [dict() for _ in range(6)]
+        maps[0] = {"edema": [v], "cardiomegaly": [v, v, v]}  # cardiomegaly most detected
+        maps[1] = {"cardiomegaly": [v]}
+        ranks, stats = rerank_with_adaptive_lesion(
+            sim, maps, ["edema", "cardiomegaly"], 5, 0.5
+        )
+        # queries 0 and 1 both have cardiomegaly; query 0 prefers it over
+        # edema because it has the most regions
+        assert stats["lesion_usage"].get("cardiomegaly", 0) == 2
+
+    def test_two_stage_eval_end_to_end(self, rng):
+        g, labels = self._setup(rng)
+        shared0 = _unit(rng.standard_normal(4))
+        shared1 = _unit(rng.standard_normal(4))
+        maps = []
+        for i in range(6):
+            maps.append(
+                {"consolidation": [shared0 if labels[i] == 0 else shared1]}
+            )
+        out = two_stage_eval(
+            g, labels, maps, target_lesions=["consolidation"],
+            specific_lesions=["consolidation"], rerank_topk=5, global_weight=0.5,
+            kappas=(1, 5),
+        )
+        assert set(out) == {"stage1_global", "stage2_adaptive", "stage2_consolidation"}
+        s1 = out["stage1_global"]["report"]
+        assert s1["R@K"][1] == 100.0  # clean clusters
+        s2 = out["stage2_consolidation"]["report"]
+        assert s2["R@K"][1] >= s1["R@K"][1] - 1e-9  # consistent lesions help
+        assert out["stage2_adaptive"]["stats"]["queries_reranked"] == 6
+
+
+class TestEvaluateRankings:
+    def test_metric_suite(self, rng):
+        labels = np.array([0, 0, 1, 1])
+        e = np.array([[1, 0], [1, 0.01], [0, 1], [0.01, 1]], float)
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        ranks = similarity_to_ranks(en @ en.T)
+        rep = evaluate_rankings(ranks, labels, kappas=(1,), cls_k_values=(1,))
+        assert rep["R@K"][1] == 100.0
+        assert rep["mAP"] == pytest.approx(100.0)
+        assert rep["classification"][1]["accuracy"] == 100.0

@@ -1,0 +1,81 @@
+"""End-to-end CLI tests on the synthetic dataset (CPU). Mirrors the
+reference's quick-subset smoke evals (test_eval_conceptclip.py:30-31) — the
+full flow with random-init weights on a tiny dataset."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+class TestEvalCLI:
+    def test_test_cli_end_to_end(self, tmp_path):
+        from xmir_tpu.cli import test as test_cli
+
+        metrics = test_cli.main(
+            [
+                "--dataset", "synthetic", "--model", "densenet121",
+                "--embedding-dim", "32", "--eval-batch-size", "16",
+                "--save-dir", str(tmp_path),
+            ]
+        )
+        assert "mAP" in metrics and "R@1" in metrics
+        data = np.load(tmp_path / "evaluation_results.npz", allow_pickle=True)
+        assert data["embeds"].shape[1] == 32
+        saved = json.loads(str(data["metrics"]))
+        assert saved["mAP"] == pytest.approx(metrics["mAP"])
+
+
+class TestIngestQueryCLI:
+    def test_ingest_then_query(self, tmp_path):
+        from xmir_tpu.cli import ingest as ingest_cli
+        from xmir_tpu.cli import query as query_cli
+
+        gal = str(tmp_path / "gallery.npz")
+        ingest_cli.main(
+            [
+                "--dataset", "synthetic", "--model", "densenet121",
+                "--embedding-dim", "32", "--split", "train",
+                "--batch-size", "16", "--output", gal,
+            ]
+        )
+        assert os.path.exists(gal)
+        out = str(tmp_path / "hits.json")
+        query_cli.main(
+            [
+                "--dataset", "synthetic", "--model", "densenet121",
+                "--embedding-dim", "32", "--index", gal, "--top-k", "3",
+                "--batch-size", "16", "--output", out,
+            ]
+        )
+        results = json.load(open(out))
+        assert len(results) == 32  # synthetic test split size
+        hit = results[0]["results"][0]
+        assert set(hit) == {"id", "image_path", "label", "distance", "similarity"}
+
+
+class TestChestmirCLI:
+    def test_chestmir_eval_cli(self, tmp_path, rng):
+        from xmir_tpu.cli import chestmir_eval
+
+        centers = rng.standard_normal((2, 16)) * 3
+        labels = np.repeat([0, 1], 8)
+        g = centers[labels] + rng.standard_normal((16, 16)) * 0.3
+        shared = {0: rng.standard_normal(8), 1: rng.standard_normal(8)}
+        regions = [
+            [{"label": "Consolidation", "box": [0, 0, 4, 4],
+              "vector": shared[int(l)]}]
+            for l in labels
+        ]
+        gal = str(tmp_path / "cm.npz")
+        chestmir_eval.save_chestmir_npz(
+            gal, g, labels, [f"im{i}" for i in range(16)], regions
+        )
+        out = str(tmp_path / "cm.json")
+        chestmir_eval.main(
+            ["--gallery", gal, "--specific-lesions", "consolidation",
+             "--output", out]
+        )
+        res = json.load(open(out))
+        assert "stage1_global" in res and "stage2_consolidation" in res
+        assert res["stage1_global"]["report"]["R@K"]["1"] == 100.0

@@ -177,3 +177,39 @@ class TestBertConversion:
         np.testing.assert_allclose(
             np.asarray(out["tokens"])[m], t_out[m], atol=2e-4
         )
+
+
+class TestSiglipTextConversion:
+    def test_numerical_parity_vs_hf(self):
+        from transformers import SiglipTextConfig, SiglipTextModel
+
+        from xmir_tpu.models import SiglipTextBackbone
+        from xmir_tpu.models.convert import convert_siglip_text
+
+        cfg = SiglipTextConfig(
+            vocab_size=300,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            max_position_embeddings=16,
+        )
+        torch.manual_seed(0)
+        hf = SiglipTextModel(cfg).eval()
+        sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+        variables = convert_siglip_text(sd, depth=2)
+
+        fm = SiglipTextBackbone(
+            vocab_size=300, dim=64, depth=2, num_heads=4, intermediate=128,
+            max_position=16,
+        )
+        ids = np.array([[4, 8, 15, 16, 23, 42], [7, 1, 2, 3, 4, 5]])
+        with torch.no_grad():
+            t_out = hf(input_ids=torch.tensor(ids))
+        out = fm.apply(variables, jnp.asarray(ids))
+        np.testing.assert_allclose(
+            np.asarray(out["tokens"]), t_out.last_hidden_state.numpy(), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pooled"]), t_out.pooler_output.numpy(), atol=2e-4
+        )

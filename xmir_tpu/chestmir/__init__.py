@@ -1,0 +1,23 @@
+from .lesions import (
+    LESION_ALIAS_TO_CANON,
+    VINDR_DETECTOR_CLASSES,
+    canonical_lesion_name,
+)
+from .wbf import (
+    hflip_boxes,
+    letterbox_image,
+    letterbox_params,
+    nms,
+    scale_boxes_back,
+    weighted_boxes_fusion,
+    xywh2xyxy,
+)
+from .region import crop_box, detections_with_tta_folds, embed_regions
+from .two_stage import (
+    build_lesion_map,
+    evaluate_rankings,
+    rerank_with_adaptive_lesion,
+    rerank_with_specific_lesion,
+    similarity_to_ranks,
+    two_stage_eval,
+)

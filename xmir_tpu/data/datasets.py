@@ -308,9 +308,16 @@ def _to_uint8_image(array: np.ndarray) -> np.ndarray:
 
 class NIHChestXrayRetrievalDataset(_BaseDataset):
     """NIH .npy retrieval set with URL-encoded multi-label filenames
-    `Chest_X-ray_A%7CB_123.npy` (read_data.py:93-197)."""
+    `Chest_X-ray_A%7CB_123.npy` (read_data.py:93-197).
 
-    def __init__(self, data_dir=None, image_list_file=None, pathology_names=None):
+    When the native C++ loader (native/xmir_loader.cpp) is built,
+    `load_image_resized` parses/normalizes/resizes off the Python path
+    entirely — the 10k img/s ingest fast path.
+    """
+
+    def __init__(self, data_dir=None, image_list_file=None, pathology_names=None,
+                 use_native: bool = True):
+        self.use_native = use_native
         self.image_names = _resolve_file_list(data_dir, image_list_file, ".npy")
         self.pathology_names = list(pathology_names or NIH_RETRIEVAL_PATHOLOGIES)
         self.pathology_to_index = {n: i for i, n in enumerate(self.pathology_names)}
@@ -366,6 +373,40 @@ class NIHChestXrayRetrievalDataset(_BaseDataset):
         arr = _to_uint8_image(np.load(self.image_names[index]))
         img = Image.fromarray(arr).convert("L").convert("RGB")
         return np.asarray(img, dtype=np.uint8)
+
+    def load_image_resized(self, index, out_h: int, out_w: int):
+        """Native-path load+resize; falls back to load_image + PIL resize."""
+        if self.use_native:
+            from . import native_loader
+
+            if native_loader.available():
+                try:
+                    return native_loader.load_npy_image(
+                        self.image_names[index], out_h, out_w
+                    )
+                except ValueError:
+                    pass
+        img = Image.fromarray(self.load_image(index)).resize(
+            (out_w, out_h), Image.BILINEAR
+        )
+        return np.asarray(img, np.uint8)
+
+    def load_batch_resized(self, indices, out_h: int, out_w: int, n_threads=0):
+        """Parallel native batch load (C++ worker pool)."""
+        if self.use_native:
+            from . import native_loader
+
+            if native_loader.available():
+                try:
+                    return native_loader.load_npy_batch(
+                        [self.image_names[i] for i in indices], out_h, out_w,
+                        n_threads,
+                    )
+                except ValueError:
+                    pass
+        return np.stack(
+            [self.load_image_resized(i, out_h, out_w) for i in indices]
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,12 @@ import numpy as np
 def _decode_batch(dataset, indices: Sequence[int], image_size: Optional[int]):
     from PIL import Image
 
+    if image_size is not None and hasattr(dataset, "load_batch_resized"):
+        # native C++ batch path (NIH .npy fast path)
+        imgs_arr = dataset.load_batch_resized(list(indices), image_size, image_size)
+        labels = np.asarray([dataset.labels[i] for i in indices])
+        return imgs_arr, labels, np.asarray(indices)
+
     imgs = []
     for i in indices:
         arr = dataset.load_image(i)

@@ -21,3 +21,8 @@ from .siglip import SiglipVisionBackbone, medsiglip_448_vision
 from .swin import SwinV2Backbone, swinv2_base_window12to24_192to384
 from .bert import BertTextBackbone, pubmedbert_base
 from .ath import ATHNet
+from .siglip_text import (
+    COVIDX_LABEL_TO_TEXT,
+    MedSigLIPDualEncoder,
+    SiglipTextBackbone,
+)

@@ -224,6 +224,34 @@ def convert_siglip_vision(sd: Dict[str, np.ndarray], depth: int = 27):
     return {"params": params}
 
 
+def convert_siglip_text(sd: Dict[str, np.ndarray], depth: int = 27):
+    """HF SiglipTextModel -> SiglipTextBackbone params."""
+    sd = _strip_prefixes(sd, ("text_model.",))
+    params = {
+        "token_embedding": {"embedding": sd["embeddings.token_embedding.weight"]},
+        "position_embedding": sd["embeddings.position_embedding.weight"],
+        "final_layer_norm": _ln(sd, "final_layer_norm"),
+        "head": _dense(sd, "head"),
+    }
+    for i in range(depth):
+        pre = f"encoder.layers.{i}"
+        params[f"layer{i}"] = {
+            "layer_norm1": _ln(sd, f"{pre}.layer_norm1"),
+            "layer_norm2": _ln(sd, f"{pre}.layer_norm2"),
+            "self_attn": {
+                "q_proj": _dense(sd, f"{pre}.self_attn.q_proj"),
+                "k_proj": _dense(sd, f"{pre}.self_attn.k_proj"),
+                "v_proj": _dense(sd, f"{pre}.self_attn.v_proj"),
+                "out_proj": _dense(sd, f"{pre}.self_attn.out_proj"),
+            },
+            "mlp": {
+                "fc1": _dense(sd, f"{pre}.mlp.fc1"),
+                "fc2": _dense(sd, f"{pre}.mlp.fc2"),
+            },
+        }
+    return {"params": params}
+
+
 # ---------------------------------------------------------------------------
 # BERT text encoder (HF BertModel layout)
 # ---------------------------------------------------------------------------
