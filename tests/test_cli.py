@@ -79,3 +79,50 @@ class TestChestmirCLI:
         res = json.load(open(out))
         assert "stage1_global" in res and "stage2_consolidation" in res
         assert res["stage1_global"]["report"]["R@K"]["1"] == 100.0
+
+
+class TestFusionCompareCLI:
+    def test_fusion_cli(self, tmp_path, rng):
+        from xmir_tpu.cli import fusion as fusion_cli
+
+        centers = rng.standard_normal((3, 16)) * 3
+        labels = np.arange(30) % 3
+        paths = np.asarray([f"p{i}" for i in range(30)])
+        for name, noise in (("a.npz", 0.4), ("b.npz", 0.4)):
+            e = (centers[labels] + rng.standard_normal((30, 16)) * noise).astype(
+                np.float32
+            )
+            np.savez(tmp_path / name, embeds=e, labels=labels, paths=paths)
+        res = fusion_cli.main(
+            ["--source-a", str(tmp_path / "a.npz"),
+             "--source-b", str(tmp_path / "b.npz"),
+             "--alphas", "0.5",
+             "--output", str(tmp_path / "fusion")]
+        )
+        assert "concat_fusion" in res
+        assert (tmp_path / "fusion.csv").exists()
+
+    def test_compare_cli(self, tmp_path, rng):
+        from xmir_tpu.cli import compare as compare_cli
+        from xmir_tpu.index import ShardedGalleryIndex
+
+        centers = rng.standard_normal((3, 16)) * 3
+        labels = np.arange(30) % 3
+        paths = [f"p{i}" for i in range(30)]
+        e = (centers[labels] + rng.standard_normal((30, 16)) * 0.3).astype(np.float32)
+        for name, emb in (("ia.npz", e), ("ib.npz",
+                          rng.standard_normal((30, 16)).astype(np.float32))):
+            idx = ShardedGalleryIndex(16)
+            idx.add(emb, labels, paths)
+            idx.build()
+            idx.save(str(tmp_path / name))
+        np.savez(tmp_path / "q.npz", embeds=e, labels=labels,
+                 paths=np.asarray(paths))
+        groups = compare_cli.main(
+            ["--index-a", str(tmp_path / "ia.npz"),
+             "--index-b", str(tmp_path / "ib.npz"),
+             "--queries-a", str(tmp_path / "q.npz"),
+             "--out-dir", str(tmp_path / "cmp"), "--html"]
+        )
+        assert sum(len(v) for v in groups.values()) == 30
+        assert (tmp_path / "cmp" / "mismatches.html").exists()

@@ -209,6 +209,30 @@ def make_conceptclip_train_step(model, alpha: float = 0.5, compute_dtype=jnp.flo
     return step
 
 
+def with_grad_accumulation(step_fn, accum_steps: int):
+    """Wrap a (state, images, labels) step to average gradients over
+    `accum_steps` microbatches (reference relies on HF Trainer for this,
+    train_medsiglip.py:285-287; here it is an optax MultiSteps wrap at the
+    optimizer level applied through the step's apply_gradients)."""
+    import optax
+
+    def wrap_state(state):
+        return state.replace(
+            tx=optax.MultiSteps(state.tx, every_k_schedule=accum_steps),
+            opt_state=optax.MultiSteps(
+                state.tx, every_k_schedule=accum_steps
+            ).init(state.params),
+        )
+
+    return wrap_state
+
+
+def rematerialized(model_apply):
+    """jax.checkpoint (remat) wrapper for memory-bound training — trades
+    recompute for activation memory (SURVEY.md §2.10 gradient checkpointing)."""
+    return jax.checkpoint(model_apply)
+
+
 def make_embed_fn(model, compute_dtype=jnp.float32):
     """Inference embedding extractor (the test.py/ingest hot loop)."""
 
