@@ -237,3 +237,94 @@ class TestBlur:
         assert float(jnp.mean(blurred[:, 20:44, 20:44])) == pytest.approx(
             float(jnp.mean(img[:, 20:44, 20:44])), abs=0.05
         )
+
+
+class TestVariants:
+    def _features_fn(self):
+        def f(x):
+            # fake conv features: 2x2 pooled patches, 4 channels
+            b, h, w, c = x.shape
+            ph, pw = h // 2, w // 2
+            patches = x.reshape(b, 2, ph, 2, pw, c).mean((2, 4))  # (b,2,2,c)
+            extra = jnp.concatenate([patches, patches[..., :1] * 0.5], -1)
+            return extra
+        return f
+
+    def test_transform_query_modes(self, rng):
+        from xmir_tpu.xai import transform_query
+
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+        m = jnp.zeros((1, 16, 16)).at[:, :8].set(1.0)
+        masked = transform_query(x, m, "mask")
+        assert float(jnp.abs(masked[0, 12:]).sum()) == 0.0
+        blurred = transform_query(x, m, "blur", sigma=2.0)
+        assert not np.allclose(np.asarray(blurred[0, 12:]), 0.0)
+        np.testing.assert_allclose(
+            np.asarray(blurred[0, :8]), np.asarray(x[0, :8]), atol=1e-5
+        )
+        with pytest.raises(ValueError):
+            transform_query(x, m, "nope")
+
+    def test_sbsm_masked_query(self, rng):
+        from xmir_tpu.xai import sbsm_masked_query_saliency
+
+        x = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+        masks = jnp.asarray(generate_masks(32, 8, 8))
+        region = jnp.ones((1, 32, 32))
+        sal = sbsm_masked_query_saliency(
+            toy_embed_fn, {}, x, x, masks, region, chunk=16
+        )
+        assert sal.shape == (32, 32)
+        assert float(jnp.min(sal)) >= 0.0
+
+    def test_fsal_probability_drop(self, rng):
+        from xmir_tpu.xai import ProbeClassifier, fsal_saliency
+
+        # embeddings where the first feature decides class (toy_embed_fn is 9-d)
+        pos = rng.random((20, 9)).astype(np.float64)
+        pos[:, 0] += 1.0
+        neg = rng.random((20, 9)).astype(np.float64)
+        probe = ProbeClassifier("logistic_reg").fit(pos, neg)
+        img = np.zeros((1, 32, 32, 3), np.float32)
+        img[0, 20:28, 4:12, :] = 5.0
+        masks = jnp.asarray(generate_masks(32, 8, 4))
+        sal = fsal_saliency(toy_embed_fn, {}, jnp.asarray(img), masks, probe, chunk=32)
+        assert sal.shape == (1, 32, 32)
+        assert np.isfinite(sal).all() and sal.min() >= 0.0
+
+    def test_fsal_grad(self, rng):
+        from xmir_tpu.xai import ProbeClassifier, fsal_grad_saliency
+
+        pos = rng.random((20, 5)) + 1.0
+        neg = rng.random((20, 5))
+        probe = ProbeClassifier("logistic_reg").fit(pos, neg)
+        f_fn = self._features_fn()
+
+        def head_fn(feats):
+            return jnp.mean(feats, axis=(1, 2))  # (b, 5)
+
+        x = jnp.asarray(rng.random((2, 8, 8, 4)), jnp.float32)
+        sal = fsal_grad_saliency(f_fn, head_fn, probe, x)
+        assert sal.shape == (2, 8, 8)
+        assert float(jnp.min(sal)) >= 0.0
+
+    def test_sim_score_cam(self, rng):
+        from xmir_tpu.xai import sim_score_cam
+
+        f_fn = self._features_fn()
+        xq = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+        xr = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+        sal = sim_score_cam(toy_embed_fn, {}, f_fn, xq, xr, chunk=2)
+        assert sal.shape == (16, 16)
+        assert np.isfinite(np.asarray(sal)).all()
+
+    def test_sbsm_feature_space(self, rng):
+        from xmir_tpu.xai import sbsm_feature_saliency
+
+        f_fn = self._features_fn()
+        xq = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+        xr = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+        masks = jnp.asarray(generate_masks(16, 4, 4))
+        sal = sbsm_feature_saliency(toy_embed_fn, {}, f_fn, xq, xr, masks)
+        assert sal.shape == (16, 16)
+        assert float(jnp.min(sal)) >= 0.0

@@ -15,3 +15,13 @@ from .causal import (
     zeros_substrate,
 )
 from .feature_heads import get_feature_head
+from .variants import (
+    ProbeClassifier,
+    fsal_grad_saliency,
+    fsal_saliency,
+    gaussian_blur_normed,
+    sbsm_feature_saliency,
+    sbsm_masked_query_saliency,
+    sim_score_cam,
+    transform_query,
+)
