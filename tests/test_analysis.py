@@ -1,5 +1,6 @@
 """Tests for ensembling, late fusion, dual-model comparison, anomaly eval,
 and hashing metrics."""
+import json
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -218,3 +219,29 @@ class TestZeroShot:
         # for query 0, the top item must now be image 1 (same class)
         order = np.argsort(-scores[0])
         assert order[0] == 1
+
+
+class TestReports:
+    def test_analyze_ins_del(self, tmp_path):
+        from xmir_tpu.analysis import analyze_insertion_deletion
+
+        payload = {"results": [
+            {"query_label": 0, "deletion_auc": 0.4, "insertion_auc": 0.8},
+            {"query_label": 0, "deletion_auc": 0.7, "insertion_auc": 0.6},
+            {"query_label": 1, "deletion_auc": 0.5, "insertion_auc": 0.75},
+        ]}
+        p = tmp_path / "r.json"
+        p.write_text(json.dumps(payload))
+        s = analyze_insertion_deletion(str(p))
+        assert s["n_queries"] == 3
+        assert s["good_saliency_rate"] == pytest.approx(2 / 3)
+        assert s["per_class"]["0"]["n"] == 2
+
+    def test_overlay(self, rng):
+        from xmir_tpu.analysis import overlay_saliency
+
+        img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        sal = rng.random((16, 16))
+        out = overlay_saliency(img, sal)
+        assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+        assert not np.array_equal(out, img)

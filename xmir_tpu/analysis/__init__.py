@@ -18,3 +18,8 @@ from .zeroshot import (
     text_rerank_scores,
     zero_shot_classify,
 )
+from .reports import (
+    analyze_insertion_deletion,
+    overlay_saliency,
+    render_overlays_from_results,
+)
