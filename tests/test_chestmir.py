@@ -202,3 +202,39 @@ class TestEvaluateRankings:
         assert rep["R@K"][1] == 100.0
         assert rep["mAP"] == pytest.approx(100.0)
         assert rep["classification"][1]["accuracy"] == 100.0
+
+
+class TestDetectionService:
+    def test_analyze_image_bytes(self):
+        import io
+        from PIL import Image
+        from xmir_tpu.chestmir import DiseaseDetectionService
+
+        img = np.zeros((120, 160, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+
+        def fake_detector(lb):
+            return (np.array([[200.0, 200.0, 260.0, 260.0]]),
+                    np.array([0.8]), np.array([3]))
+
+        svc = DiseaseDetectionService([fake_detector])
+        dets, jpeg = svc.analyze_image(buf.getvalue(), score_thres=0.1)
+        # the position-blind fake detector yields a mirrored second box from
+        # the hflip TTA pass; both survive WBF as separate clusters
+        assert len(dets) == 2
+        d = dets[0]
+        assert d["class_name_vi"] == "Tim to"  # Cardiomegaly
+        assert d["class_name_en"] == "Cardiomegaly"
+        assert jpeg[:2] == b"\xff\xd8"  # JPEG magic
+
+    def test_draw_detections(self):
+        from xmir_tpu.chestmir import draw_detections
+
+        img = np.zeros((64, 64, 3), np.uint8)
+        out = draw_detections(
+            img, [{"class_id": 0, "class_name": "X", "confidence": 0.5,
+                   "x1": 10, "y1": 10, "x2": 40, "y2": 40}]
+        )
+        assert out.shape == img.shape
+        assert out.sum() > 0  # something drawn

@@ -173,3 +173,102 @@ class TestEmbedFn:
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(e), axis=1), 1.0, atol=1e-5
         )
+
+
+class TestConceptCLIPStep:
+    def test_step_runs_and_clamps(self, rng):
+        """ConceptCLIP IT+RC train step on a tiny dual encoder."""
+        from xmir_tpu.models.embedders import ConceptCLIPModel
+        import flax.linen as nn
+        from xmir_tpu.models.siglip import SiglipVisionBackbone
+        from xmir_tpu.models.bert import BertTextBackbone
+        from xmir_tpu.train import create_train_state, make_conceptclip_train_step
+        import optax
+
+        class TinyConceptCLIP(nn.Module):
+            def setup(self):
+                self.visual = SiglipVisionBackbone(
+                    img_size=28, patch_size=14, dim=16, depth=1, num_heads=2,
+                    intermediate=32, name="visual",
+                )
+                self.text = BertTextBackbone(
+                    vocab_size=50, dim=16, depth=1, num_heads=2,
+                    intermediate=32, max_position=8, name="text",
+                )
+                self.text_projection = nn.Dense(16, name="text_projection")
+                self.logit_scale = self.param(
+                    "logit_scale", nn.initializers.constant(6.0), ()
+                )  # above the 4.6052 clamp on purpose
+                self.logit_bias = self.param(
+                    "logit_bias", nn.initializers.constant(-1.0), ()
+                )
+
+            def encode_text(self, input_ids, attention_mask=None):
+                return self.text_projection(self.text(input_ids, attention_mask)["cls"])
+
+            def forward_clip(self, pixel_values, input_ids, attention_mask=None,
+                             train=False):
+                v = self.visual(pixel_values, train)
+                return {
+                    "image_features": v["pooled"],
+                    "text_features": self.encode_text(input_ids, attention_mask),
+                    "image_token_features": v["tokens"],
+                    "logit_scale": self.logit_scale,
+                    "logit_bias": self.logit_bias,
+                }
+
+            def __call__(self, pixel_values, input_ids, attention_mask=None,
+                         train=False):
+                return self.forward_clip(pixel_values, input_ids, attention_mask, train)
+
+        model = TinyConceptCLIP()
+        b, w_c, lc = 4, 2, 5
+        pix = jnp.asarray(rng.standard_normal((b, 28, 28, 3)), jnp.float32)
+        ids = jnp.asarray(rng.integers(1, 50, (b, 6)))
+        mask = jnp.ones((b, 6), jnp.int32)
+        cids = jnp.asarray(rng.integers(1, 50, (b, w_c, lc)))
+        cmask = jnp.asarray(rng.random((b, w_c)) > 0.3)
+        variables = model.init(jax.random.PRNGKey(0), pix, ids, mask)
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), None, tx,
+                                   variables=variables)
+        step = jax.jit(make_conceptclip_train_step(model, alpha=0.5))
+        state, m = step(state, pix, ids, mask, cids, cmask)
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["it_loss"]) > 0 and float(m["rc_loss"]) >= 0
+        # post-step clamp (reference train.py:361-367)
+        assert float(state.params["logit_scale"]) <= 4.6052 + 1e-6
+
+
+class TestDistillStep:
+    def test_distill_decreases(self, rng):
+        import flax.linen as nn
+        import optax
+        from xmir_tpu.train import create_train_state, make_distill_train_step
+
+        class TinyDistill(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                h = nn.Dense(16)(x.reshape(x.shape[0], -1))
+                e = h / jnp.maximum(jnp.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+                t = jax.lax.stop_gradient(
+                    jnp.ones_like(e) / jnp.sqrt(jnp.float32(e.shape[1]))
+                )
+                out = {"embedding": e}
+                if train:
+                    out["teacher_embedding"] = t
+                return out
+
+        model = TinyDistill()
+        x = jnp.asarray(rng.standard_normal((12, 1, 1, 8)), jnp.float32)
+        labels = jnp.asarray(np.arange(12) % 3)
+        variables = model.init(jax.random.PRNGKey(0), x, train=True)
+        state = create_train_state(model, jax.random.PRNGKey(0), None,
+                                   optax.adam(5e-2), variables=variables)
+        step = jax.jit(make_distill_train_step(model, "triplet_hard",
+                                               distill_weight=1.0))
+        distills = []
+        for _ in range(20):
+            state, m = step(state, x, labels)
+            distills.append(float(m["distill"]))
+        assert distills[-1] < distills[0]  # student pulled toward teacher

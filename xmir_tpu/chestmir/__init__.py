@@ -21,3 +21,8 @@ from .two_stage import (
     similarity_to_ranks,
     two_stage_eval,
 )
+from .detection_service import (
+    CLASS_ID_TO_VI,
+    DiseaseDetectionService,
+    draw_detections,
+)
