@@ -247,3 +247,34 @@ class TestPipeline:
             fake_embed({}, ep(jnp.asarray(img[None]), 20, 16, (0.5,)*3, (0.5,)*3))
         )[0]
         np.testing.assert_allclose(embeds[0], ref, atol=1e-5)
+
+
+class TestHashTokenizer:
+    def test_deterministic_and_distinct(self):
+        from xmir_tpu.data.tokenizer import HashWordTokenizer
+
+        tok = HashWordTokenizer(vocab_size=1000, max_len=16)
+        ids1, m1 = tok(["a chest x-ray showing pneumonia"])
+        ids2, m2 = tok(["a chest x-ray showing pneumonia"])
+        np.testing.assert_array_equal(ids1, ids2)
+        ids3, _ = tok(["a chest x-ray showing consolidation"])
+        assert not np.array_equal(ids1, ids3)
+        assert ids1[0, 0] == HashWordTokenizer.CLS
+        assert (ids1 < 1000).all()
+
+    def test_padding_and_mask(self):
+        from xmir_tpu.data.tokenizer import HashWordTokenizer
+
+        tok = HashWordTokenizer(max_len=8)
+        ids, mask = tok.encode_padded(["one two", "one two three four"], 8)
+        assert ids.shape == (2, 8)
+        assert mask[0].sum() == 3  # CLS + 2 words
+        assert mask[1].sum() == 5
+        assert (ids[0, 3:] == 0).all()
+
+    def test_token_table_override(self):
+        from xmir_tpu.data.tokenizer import HashWordTokenizer
+
+        tok = HashWordTokenizer(token_table={"pneumonia": 7})
+        ids, _ = tok(["pneumonia"])
+        assert ids[0, 1] == 7
