@@ -43,7 +43,9 @@ def checkpoint_name(
 
 def save_checkpoint(path: str, tree: Any, metadata: Optional[dict] = None):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    tree = jax.device_get(tree)
+    # to_state_dict converts optax NamedTuple/dataclass states (e.g.
+    # multi_transform's PartitionState) into plain nested dicts msgpack accepts
+    tree = serialization.to_state_dict(jax.device_get(tree))
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(tree))
     if metadata is not None:
