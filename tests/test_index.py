@@ -150,3 +150,19 @@ class TestShardedSearch:
         _, ids = idx.search(q, k=5)
         _, bi = brute(q, g, 5, metric)
         np.testing.assert_array_equal(np.asarray(ids), bi)
+
+
+class TestInfo:
+    def test_info_diagnostics(self, data):
+        q, g, labels, paths = data
+        idx = ShardedGalleryIndex(64)
+        idx.add(g, labels, paths)
+        assert idx.info()["built"] is False
+        idx.build()
+        info = idx.info()
+        assert info["ntotal"] == 500 and info["index_type"] == "FLAT_EXACT"
+        assert info["hbm_bytes"] == 500 * 64 * 4
+        mesh = make_mesh()
+        idx.build(mesh)
+        info = idx.info()
+        assert info["sharding"]["devices"] == 8

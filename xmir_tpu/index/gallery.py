@@ -238,6 +238,32 @@ class ShardedGalleryIndex:
             results.append(hits)
         return results
 
+    def info(self) -> dict:
+        """Index diagnostics (reference check_milvus_index.py prints index
+        params/metric; here: size, dim, metric, dtype, sharding layout)."""
+        built = self._device_embeds is not None
+        out = {
+            "ntotal": self.ntotal,
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": str(jnp.dtype(self.dtype)),
+            "built": built,
+            "index_type": "FLAT_EXACT",  # vs reference IVF_FLAT/HNSW
+        }
+        if built and self._mesh is not None:
+            n_dev = self._mesh.shape[DATA_AXIS]
+            out["sharding"] = {
+                "devices": n_dev,
+                "rows_per_shard": self._device_embeds.shape[0] // n_dev,
+            }
+        elif built:
+            out["sharding"] = {"devices": 1, "rows_per_shard": self._n}
+        if built:
+            out["hbm_bytes"] = int(
+                self._device_embeds.size * self._device_embeds.dtype.itemsize
+            )
+        return out
+
     # ------------------------------------------------------------- persist
     def save(self, path: str):
         """npz artifact (embeddings/labels/paths + metadata json)."""
