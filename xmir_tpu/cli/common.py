@@ -32,6 +32,8 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--sra-num-heads", default=8, type=int)
     p.add_argument("--sra-lam", default=0.1, type=float)
     p.add_argument("--unfreeze-blocks", default=3, type=int)
+    p.add_argument("--num-labels", default=None, type=int,
+                   help="Dual-branch classification head size")
     p.add_argument("--resume", default="", help="Checkpoint to load (.msgpack or torch .pt/.pth)")
     p.add_argument("--seed", type=int, default=0)
 
@@ -82,11 +84,18 @@ def build_dataset(args, split: str = "train"):
         return SyntheticImageDataset(
             n=64 if split == "train" else 32, size=64, seed=0 if split == "train" else 1
         )
+    if name == "synthetic_ml":
+        from ..data import SyntheticMultiLabelDataset
+
+        return SyntheticMultiLabelDataset(
+            n=64 if split == "train" else 32, size=64,
+            seed=0 if split == "train" else 1,
+        )
     raise ValueError(f"unknown dataset {args.dataset!r}")
 
 
 def is_multilabel(dataset_name: str) -> bool:
-    return dataset_name in ("vindr", "nih")
+    return dataset_name in ("vindr", "nih", "synthetic_ml")
 
 
 def build_model(args, train: bool = False):
@@ -103,6 +112,8 @@ def build_model(args, train: bool = False):
             overrides[key] = args.embedding_dim
     if args.model == "convnextv2_sra":
         overrides.update(num_heads=args.sra_num_heads, lam=args.sra_lam)
+    if getattr(args, "num_labels", None) and args.model in ("densenet121", "resnet50"):
+        overrides["num_labels"] = args.num_labels
 
     model, spec = create_model(args.model, **overrides)
     size = getattr(args, "image_size", None) or spec.input_size

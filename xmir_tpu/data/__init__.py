@@ -19,6 +19,10 @@ from .datasets import (
     VINDR_CONCEPT_COLUMNS,
     VINDR_DISEASE_COLUMNS,
 )
-from .synthetic import SyntheticImageDataset, write_synthetic_covidx
+from .synthetic import (
+    SyntheticImageDataset,
+    SyntheticMultiLabelDataset,
+    write_synthetic_covidx,
+)
 from .transforms import eval_preprocess, train_preprocess, preprocess_for_spec
 from .pipeline import batch_iterator, embed_dataset, prefetch_to_device

@@ -40,6 +40,34 @@ class SyntheticImageDataset:
         return img.astype(np.uint8)
 
 
+class SyntheticMultiLabelDataset(SyntheticImageDataset):
+    """Multi-hot synthetic dataset: each image activates 1-3 of `num_labels`
+    pathologies, each contributing a distinct visual pattern — for NIH-style
+    dual-head and Jaccard-loss smoke training."""
+
+    def __init__(self, n: int = 64, size: int = 64, num_labels: int = 6,
+                 seed: int = 0):
+        rng = np.random.default_rng(seed)
+        super().__init__(n=n, size=size, num_classes=num_labels, seed=seed)
+        labels = np.zeros((n, num_labels), np.float32)
+        for i in range(n):
+            k = rng.integers(1, 4)
+            labels[i, rng.choice(num_labels, size=k, replace=False)] = 1.0
+        self.labels = labels
+        self.num_labels = num_labels
+
+    def load_image(self, index: int) -> np.ndarray:
+        rng = np.random.default_rng(self._seed * 100_003 + index)
+        s = self.size
+        yy, xx = np.mgrid[0:s, 0:s]
+        img = np.full((s, s, 3), 40.0, np.float32)
+        for li in np.nonzero(self.labels[index])[0]:
+            pattern = 50 * np.sin(2 * np.pi * (li + 2) * xx / s + li)
+            img[..., li % 3] += pattern
+        img += rng.normal(0, 15, (s, s, 3))
+        return np.clip(img + 60, 0, 255).astype(np.uint8)
+
+
 def write_synthetic_covidx(root: str, n: int = 30, size: int = 48, seed: int = 0):
     """Materialize a tiny on-disk COVIDx-format dataset (txt manifest
     `idx filename label`) for end-to-end CLI tests."""

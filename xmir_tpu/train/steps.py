@@ -42,17 +42,16 @@ LOSS_FNS = {
 }
 
 
-def _apply(model, state, images, train, mutable):
-    variables = {"params": state.params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
-    if train and state.batch_stats:
+def _train_apply(model, params, batch_stats, images):
+    """Train-mode forward handling BatchNorm state mutation uniformly."""
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
         out, updates = model.apply(
             variables, images, train=True, mutable=["batch_stats"]
         )
-        return out, updates.get("batch_stats", state.batch_stats)
-    out = model.apply(variables, images, train=train)
-    return out, state.batch_stats
+        return out, updates.get("batch_stats", batch_stats)
+    return model.apply(variables, images, train=True), batch_stats
 
 
 def make_embedding_train_step(
@@ -69,16 +68,7 @@ def make_embedding_train_step(
         images = images.astype(compute_dtype)
 
         def losses(params):
-            variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-                out, updates = model.apply(
-                    variables, images, train=True, mutable=["batch_stats"]
-                )
-                new_stats = updates.get("batch_stats", state.batch_stats)
-            else:
-                out = model.apply(variables, images, train=True)
-                new_stats = state.batch_stats
+            out, new_stats = _train_apply(model, params, state.batch_stats, images)
             emb = out["embedding"] if isinstance(out, dict) else out
             loss, aux = loss_fn(emb.astype(jnp.float32), labels, **loss_kwargs)
             return loss, (aux, new_stats)
@@ -109,10 +99,7 @@ def make_dual_branch_train_step(
         images = images.astype(compute_dtype)
 
         def losses(params):
-            variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            out = model.apply(variables, images, train=True)
+            out, new_stats = _train_apply(model, params, state.batch_stats, images)
             contrastive = multilabel_contrastive_loss(
                 out["embedding"].astype(jnp.float32), labels, temperature
             )
@@ -120,10 +107,12 @@ def make_dual_branch_train_step(
                 out["logits"].astype(jnp.float32), labels, gamma_pos, gamma_neg, clip
             )
             loss = contrastive_weight * contrastive + asl_alpha * asl
-            return loss, {"contrastive": contrastive, "asl": asl}
+            return loss, ({"contrastive": contrastive, "asl": asl}, new_stats)
 
-        (loss, aux), grads = jax.value_and_grad(losses, has_aux=True)(state.params)
-        state = state.apply_gradients(grads)
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(losses, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads, new_stats)
         return state, {"loss": loss, **aux}
 
     return step
@@ -144,21 +133,18 @@ def make_distill_train_step(
         images = images.astype(compute_dtype)
 
         def losses(params):
-            variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            out = model.apply(variables, images, train=True)
+            out, new_stats = _train_apply(model, params, state.batch_stats, images)
             emb = out["embedding"].astype(jnp.float32)
             metric_loss, aux = loss_fn(emb, labels, **loss_kwargs)
             t = out["teacher_embedding"].astype(jnp.float32)
             # embeddings are L2-normalized; 1 - cosine == 0.5 * ||e - t||^2
             distill = jnp.mean(1.0 - jnp.sum(emb * t, axis=1))
-            return metric_loss + distill_weight * distill, (aux, distill)
+            return metric_loss + distill_weight * distill, (aux, distill, new_stats)
 
-        (loss, (aux, distill)), grads = jax.value_and_grad(losses, has_aux=True)(
-            state.params
-        )
-        state = state.apply_gradients(grads)
+        (loss, (aux, distill, new_stats)), grads = jax.value_and_grad(
+            losses, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads, new_stats)
         return state, {"loss": loss, "aux": aux, "distill": distill}
 
     return step
