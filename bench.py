@@ -112,10 +112,42 @@ def bench_embed():
     return EMBED_BATCH / dt
 
 
+def bench_search_bf16():
+    import jax.numpy as jnp
+
+    from xmir_tpu.ops.topk_pallas import fused_topk
+
+    rng = np.random.default_rng(0)
+    gallery = jnp.asarray(rng.standard_normal((GALLERY_N, DIM)).astype(np.float32))
+    gallery = gallery / jnp.linalg.norm(gallery, axis=1, keepdims=True)
+    queries = gallery[:QUERY_BATCH]
+
+    def make_loop(iters):
+        def run(q, g):
+            def body(_, carry):
+                acc, bump = carry
+                vals, idxs = fused_topk(
+                    q + bump, g, K, metric="ip", tile_q=256, tile_g=2048,
+                    compute_dtype=jnp.bfloat16,
+                )
+                s = jnp.sum(vals) + jnp.sum(idxs).astype(jnp.float32)
+                return acc + s, s * 0e-30
+            acc, _ = jax.lax.fori_loop(0, iters, body, (0.0, 0.0))
+            return acc
+        return run
+
+    dt = _loop_time(make_loop, queries, gallery)
+    return QUERY_BATCH / dt
+
+
 def main():
     n_chips = jax.device_count()
     on_tpu = jax.devices()[0].platform == "tpu"
     qps, kernel = bench_search(on_tpu)
+    try:
+        qps_bf16 = bench_search_bf16() if on_tpu else None
+    except Exception:
+        qps_bf16 = None
     try:
         ips = bench_embed()
     except Exception:
@@ -128,6 +160,7 @@ def main():
         "unit": "queries/sec",
         "vs_baseline": round(qps / per_chip_target, 3),
         "extras": {
+            "qps_bf16_serving_mode": None if qps_bf16 is None else round(qps_bf16, 1),
             "embed_images_per_sec_densenet121_bf16": None if ips is None else round(ips, 1),
             "embed_target_per_chip": TARGET_IPS_V5E8 / 8.0 * n_chips,
             "kernel": kernel,

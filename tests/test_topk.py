@@ -105,3 +105,29 @@ class TestExcludeSelf:
         # order preserved and values still descending
         v2 = np.asarray(v2)
         assert np.all(np.diff(v2, axis=1) <= 1e-6)
+
+
+class TestBf16Mode:
+    def test_bf16_near_agreement(self, rng):
+        from xmir_tpu.ops.topk_pallas import fused_topk_scores
+        import jax.numpy as jnp
+
+        q = rng.standard_normal((8, 64)).astype(np.float32)
+        g = rng.standard_normal((300, 64)).astype(np.float32)
+        bias = jnp.zeros((300,), jnp.float32)
+        v32, i32 = fused_topk_scores(
+            jnp.asarray(q), jnp.asarray(g), bias, 5, tile_q=8, tile_g=128,
+            interpret=True,
+        )
+        v16, i16 = fused_topk_scores(
+            jnp.asarray(q), jnp.asarray(g), bias, 5, tile_q=8, tile_g=128,
+            interpret=True, compute_dtype=jnp.bfloat16,
+        )
+        i32, i16 = np.asarray(i32), np.asarray(i16)
+        overlap = np.mean(
+            [len(set(i32[r]) & set(i16[r])) / 5 for r in range(8)]
+        )
+        assert overlap >= 0.8  # near-ties may flip; gross agreement holds
+        np.testing.assert_allclose(
+            np.asarray(v16), np.asarray(v32), atol=0.1
+        )

@@ -144,8 +144,19 @@ def main(argv=None):
     )
 
     for epoch in range(1, args.epochs + 1):
-        if args.use_random_sampler or multilabel:
+        if args.use_random_sampler:
             indices = np.random.permutation(len(train_ds)).tolist()
+        elif multilabel:
+            # label-aware batches (reference MultiLabelBalancedBatchSampler,
+            # nih_multilabel_retrieval.py:351-411)
+            from ..data import MultiLabelBalancedBatchSampler
+
+            ml_sampler = MultiLabelBalancedBatchSampler(
+                np.asarray(train_ds.labels), batch_size=batch_size,
+                labels_per_batch=min(8, np.asarray(train_ds.labels).shape[1]),
+                samples_per_label=4, seed=args.seed + epoch,
+            )
+            indices = [i for batch in ml_sampler for i in batch]
         else:
             sampler = PKSampler(
                 list(train_ds.labels), args.labels_per_batch,

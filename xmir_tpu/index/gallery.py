@@ -138,7 +138,10 @@ class ShardedGalleryIndex:
         if self._mesh is not None:
             vals, idxs = self._search_sharded(queries, fetch)
         elif _use_pallas():
-            vals, idxs = fused_topk(queries, self._device_embeds, fetch, self.metric)
+            vals, idxs = fused_topk(
+                queries, self._device_embeds, fetch, self.metric,
+                compute_dtype=self.dtype,
+            )
         else:
             vals, idxs = tiled_topk(
                 queries, self._device_embeds, fetch, metric=self.metric,

@@ -42,7 +42,7 @@ def _topk_kernel(q_ref, g_ref, bias_ref, vals_out, idxs_out, vals_s, idxs_s, *, 
 
     s = jnp.dot(
         q_ref[:], g_ref[:].T, preferred_element_type=jnp.float32
-    )  # (TQ, TG)
+    )  # (TQ, TG); bf16 inputs hit the MXU single-pass, f32 accumulate
     s = s + bias_ref[:]  # (1, TG) broadcast
     base = j * tile_g
     gcol = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
@@ -81,7 +81,7 @@ def _topk_kernel(q_ref, g_ref, bias_ref, vals_out, idxs_out, vals_s, idxs_s, *, 
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_q", "tile_g", "interpret")
+    jax.jit, static_argnames=("k", "tile_q", "tile_g", "interpret", "compute_dtype")
 )
 def fused_topk_scores(
     queries: jnp.ndarray,
@@ -91,11 +91,17 @@ def fused_topk_scores(
     tile_q: int = 128,
     tile_g: int = 1024,
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ):
     """Core fused kernel on dot-product+bias scores.
 
     queries (Q, D), gallery (N, D), bias (N,) added per gallery row.
     Returns (vals (Q, k) f32 sorted desc, idxs (Q, k) i32).
+
+    compute_dtype=bfloat16 stores/multiplies inputs in bf16 (f32 accumulate):
+    ~3x matmul throughput on the MXU for near-tie-level ranking differences —
+    the fast serving mode; float32 (default) matches the XLA reference path
+    bit-for-bit.
     """
     q_n, d = queries.shape
     n_real = gallery.shape[0]
@@ -123,8 +129,9 @@ def fused_topk_scores(
     q_pad = _round_up(q_n, tile_q)
     n_pad = _round_up(n_real, tile_g)
 
-    qp = jnp.zeros((q_pad, d_pad), jnp.float32).at[:q_n, :d].set(queries.astype(jnp.float32))
-    gp = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n_real, :d].set(gallery.astype(jnp.float32))
+    in_dtype = jnp.dtype(compute_dtype)
+    qp = jnp.zeros((q_pad, d_pad), in_dtype).at[:q_n, :d].set(queries.astype(in_dtype))
+    gp = jnp.zeros((n_pad, d_pad), in_dtype).at[:n_real, :d].set(gallery.astype(in_dtype))
     bp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n_real].set(bias.astype(jnp.float32))
 
     grid = (q_pad // tile_q, n_pad // tile_g)
@@ -169,20 +176,21 @@ def fused_topk(
     tile_q: int = 128,
     tile_g: int = 1024,
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ):
     """Metric-aware fused exact top-K (drop-in for ops.topk.tiled_topk)."""
     if metric == "cosine":
         q = queries / jnp.maximum(jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
         g = gallery / jnp.maximum(jnp.linalg.norm(gallery, axis=-1, keepdims=True), 1e-12)
         bias = jnp.zeros((g.shape[0],), jnp.float32)
-        return fused_topk_scores(q, g, bias, k, tile_q, tile_g, interpret)
+        return fused_topk_scores(q, g, bias, k, tile_q, tile_g, interpret, compute_dtype)
     if metric == "ip":
         bias = jnp.zeros((gallery.shape[0],), jnp.float32)
-        return fused_topk_scores(queries, gallery, bias, k, tile_q, tile_g, interpret)
+        return fused_topk_scores(queries, gallery, bias, k, tile_q, tile_g, interpret, compute_dtype)
     if metric == "l2":
         gsq = jnp.sum(gallery.astype(jnp.float32) ** 2, axis=-1)
         bias = -gsq / 2.0
-        vals, idxs = fused_topk_scores(queries, gallery, bias, k, tile_q, tile_g, interpret)
+        vals, idxs = fused_topk_scores(queries, gallery, bias, k, tile_q, tile_g, interpret, compute_dtype)
         # recompute true negative-L2 values on the gathered top-K
         gsel = jnp.take(gallery, idxs, axis=0)  # (Q, k, D)
         diff = queries[:, None, :].astype(jnp.float32) - gsel.astype(jnp.float32)
