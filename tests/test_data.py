@@ -278,3 +278,21 @@ class TestHashTokenizer:
         tok = HashWordTokenizer(token_table={"pneumonia": 7})
         ids, _ = tok(["pneumonia"])
         assert ids[0, 1] == 7
+
+
+class TestSkipErrors:
+    def test_skip_corrupt(self, tmp_path):
+        from xmir_tpu.data import CovidxDataset, batch_iterator, write_synthetic_covidx
+
+        img_dir, manifest = write_synthetic_covidx(str(tmp_path), n=8, size=24)
+        ds = CovidxDataset(img_dir, manifest)
+        # corrupt one file
+        with open(ds.image_names[3], "wb") as f:
+            f.write(b"not an image")
+        with pytest.raises(Exception):
+            list(batch_iterator(ds, 4, image_size=24))
+        batches = list(batch_iterator(ds, 4, image_size=24, skip_errors=True))
+        total = sum(b[0].shape[0] for b in batches)
+        assert total == 7  # one skipped
+        all_idx = np.concatenate([b[2] for b in batches])
+        assert 3 not in all_idx

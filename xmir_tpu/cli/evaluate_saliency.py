@@ -34,6 +34,9 @@ def main(argv=None):
                    help="Pixels per ins/del step (reference milvus driver uses 1000)")
     p.add_argument("--limit", default=0, type=int)
     p.add_argument("--save-every", default=10, type=int)
+    p.add_argument("--skip-existing", action="store_true",
+                   help="Resume: skip queries already present in --output "
+                        "(reference evaluate_test_dataset_milvus.py:252-299)")
     p.add_argument("--output", default="insertion_deletion_results.json")
     args = p.parse_args(argv)
 
@@ -72,7 +75,15 @@ def main(argv=None):
     n_q = min(args.limit or len(dataset), len(dataset))
 
     results = []
+    done = set()
+    if args.skip_existing and os.path.exists(args.output):
+        prior = json.load(open(args.output))
+        results = prior.get("results", prior if isinstance(prior, list) else [])
+        done = {r["query_index"] for r in results}
+        print(f">> resuming: {len(done)} queries already evaluated")
     for qi in range(n_q):
+        if qi in done:
+            continue
         q_img = prep(dataset.load_image(qi)[None])
         r_raw = np.stack([dataset.load_image(int(r)) for r in topk_ids[qi]])
         r_imgs = prep(r_raw)

@@ -22,6 +22,9 @@ def main(argv=None):
                    choices=["cosine", "ip", "l2", "hamming"])
     p.add_argument("--output", default="gallery.npz",
                    help="Index artifact path (.npz)")
+    p.add_argument("--skip-errors", action="store_true",
+                   help="Skip unreadable images instead of failing "
+                        "(reference ingest_embeddings.py:293-302)")
     args = p.parse_args(argv)
 
     from ..data.pipeline import embed_dataset
@@ -35,6 +38,7 @@ def main(argv=None):
     embeds, labels = embed_dataset(
         dataset, embed, variables, spec,
         batch_size=args.batch_size, num_workers=args.workers,
+        skip_errors=args.skip_errors,
     )
     dt = time.time() - t0
     print(f">> embedded {len(dataset)} images in {dt:.1f}s "

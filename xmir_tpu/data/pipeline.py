@@ -17,26 +17,50 @@ import jax
 import numpy as np
 
 
-def _decode_batch(dataset, indices: Sequence[int], image_size: Optional[int]):
+def _decode_batch(dataset, indices: Sequence[int], image_size: Optional[int],
+                  skip_errors: bool = False):
     from PIL import Image
 
     if image_size is not None and hasattr(dataset, "load_batch_resized"):
         # native C++ batch path (NIH .npy fast path)
-        imgs_arr = dataset.load_batch_resized(list(indices), image_size, image_size)
-        labels = np.asarray([dataset.labels[i] for i in indices])
-        return imgs_arr, labels, np.asarray(indices)
+        try:
+            imgs_arr = dataset.load_batch_resized(
+                list(indices), image_size, image_size
+            )
+            labels = np.asarray([dataset.labels[i] for i in indices])
+            return imgs_arr, labels, np.asarray(indices)
+        except ValueError:
+            if not skip_errors:
+                raise
+            # fall through to the per-item path so bad files can be skipped
 
-    imgs = []
+    imgs, kept = [], []
     for i in indices:
-        arr = dataset.load_image(i)
+        try:
+            arr = dataset.load_image(i)
+        except Exception as e:
+            if not skip_errors:
+                raise
+            # skip-corrupt-image robustness (reference
+            # ingest_embeddings.py:293-302)
+            print(f">> skipping unreadable item {i}: {type(e).__name__}")
+            continue
         if image_size is not None and arr.shape[:2] != (image_size, image_size):
             arr = np.asarray(
                 Image.fromarray(arr).resize((image_size, image_size), Image.BILINEAR),
                 dtype=np.uint8,
             )
         imgs.append(arr)
-    labels = np.asarray([dataset.labels[i] for i in indices])
-    return np.stack(imgs), labels, np.asarray(indices)
+        kept.append(i)
+    if not imgs:
+        return (
+            np.zeros((0,) + ((image_size, image_size, 3) if image_size else (1, 1, 3)),
+                     np.uint8),
+            np.zeros((0,)),
+            np.zeros((0,), np.int64),
+        )
+    labels = np.asarray([dataset.labels[i] for i in kept])
+    return np.stack(imgs), labels, np.asarray(kept)
 
 
 def batch_iterator(
@@ -47,6 +71,7 @@ def batch_iterator(
     image_size: Optional[int] = None,
     num_workers: int = 8,
     drop_last: bool = False,
+    skip_errors: bool = False,
 ) -> Iterator[tuple]:
     """Yield (uint8 images (B, S, S, 3), labels, indices) with parallel decode.
 
@@ -66,10 +91,14 @@ def batch_iterator(
         return
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         futures = [
-            pool.submit(_decode_batch, dataset, b, image_size) for b in batches
+            pool.submit(_decode_batch, dataset, b, image_size, skip_errors)
+            for b in batches
         ]
         for fut in futures:
-            yield fut.result()
+            imgs, labels, idxs = fut.result()
+            if imgs.shape[0] == 0:
+                continue
+            yield imgs, labels, idxs
 
 
 def prefetch_to_device(iterator: Iterator, size: int = 2) -> Iterator:
@@ -100,6 +129,7 @@ def embed_dataset(
     spec,
     batch_size: int = 64,
     num_workers: int = 8,
+    skip_errors: bool = False,
 ):
     """Embed every item: the test.py/ingest hot loop (test.py:1070-1078,
     ingest_embeddings.py:278-316). Pads the tail batch for one compiled shape.
@@ -112,7 +142,8 @@ def embed_dataset(
     embeds, labels = [], []
     n = len(dataset)
     for imgs, labs, idxs in batch_iterator(
-        dataset, batch_size, image_size=host_size, num_workers=num_workers
+        dataset, batch_size, image_size=host_size, num_workers=num_workers,
+        skip_errors=skip_errors,
     ):
         real = imgs.shape[0]
         if real < batch_size:
