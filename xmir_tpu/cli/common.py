@@ -142,19 +142,36 @@ def build_model(args, train: bool = False):
 
 
 def _convert_torch_checkpoint(model_name: str, path: str):
-    from ..models.convert import (
-        convert_densenet121_embedder,
-        convert_resnet50,
-        load_torch_state_dict,
-    )
+    from ..models import convert as C
 
-    sd = load_torch_state_dict(path)
+    sd = C.load_torch_state_dict(path)
     if model_name == "densenet121":
-        return convert_densenet121_embedder(sd)
+        return C.convert_densenet121_embedder(sd)
     if model_name == "resnet50":
-        conv = convert_resnet50(sd)
+        conv = C.convert_resnet50(sd)
         return {"params": {"backbone": conv["params"]},
                 "batch_stats": {"backbone": conv["batch_stats"]}}
+    # timm/HF backbones: strip common wrapper prefixes then convert; the
+    # embedder fc/head weights merge strict=False on top
+    stripped = {}
+    for k, v in sd.items():
+        for pre in ("convnext.", "swinv2.", "backbone.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        stripped[k] = v
+    if model_name.startswith("convnextv2"):
+        conv = C.convert_convnextv2_timm(stripped)
+        return {"params": {"backbone": conv["params"]}}
+    if model_name == "swinv2":
+        conv = C.convert_swinv2_timm(stripped)
+        return {"params": {"backbone": conv["params"]}}
+    if model_name in ("dinov2", "nih_dinov2"):
+        conv = C.convert_vit_timm(stripped)
+        return {"params": {"backbone": conv["params"]}}
+    if model_name == "medsiglip":
+        conv = C.convert_siglip_vision(stripped)
+        return {"params": {"backbone": conv["params"]}}
     raise ValueError(
         f"no torch-checkpoint converter wired for {model_name!r}; convert "
         "offline via xmir_tpu.models.convert"
