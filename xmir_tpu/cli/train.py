@@ -49,8 +49,17 @@ def parse_args(argv=None):
     p.add_argument("--freeze-backbone", action="store_true")
     p.add_argument("--use-mesh", action="store_true",
                    help="Shard batches over all local devices (data parallel)")
+    p.add_argument("--metrics-log", default="",
+                   help="Append per-step/eval metrics as JSONL (observability)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
     return p.parse_args(argv)
+
+
+def _log_jsonl(path, record):
+    import json
+
+    with open(path, "a") as f:
+        f.write(json.dumps(record, default=float) + "\n")
 
 
 def select_loss(args) -> str:
@@ -187,6 +196,11 @@ def main(argv=None):
                 loss = float(metrics["loss"])
                 step_losses.append(loss)
                 print(f"epoch {epoch} step {i}: loss {loss:.4f}")
+                if args.metrics_log:
+                    _log_jsonl(args.metrics_log, {
+                        "kind": "train", "epoch": epoch, "step": i,
+                        "loss": loss, "time": time.time(),
+                    })
         print(f">> epoch {epoch} done in {time.time() - t0:.1f}s")
 
         if val_ds is not None and epoch % args.eval_freq == 0:
@@ -208,6 +222,10 @@ def main(argv=None):
                 f">> val: mAP={m['mAP']:.3f}% R@1={m['R@1']:.3f}% "
                 f"R@5={m['R@5']:.3f}% R@10={m['R@10']:.3f}%"
             )
+            if args.metrics_log:
+                _log_jsonl(args.metrics_log, {
+                    "kind": "eval", "epoch": epoch, "time": time.time(), **m,
+                })
             saved = policy.update(
                 epoch, m["mAP"],
                 {"params": state.params, "batch_stats": state.batch_stats,
