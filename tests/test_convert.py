@@ -213,3 +213,31 @@ class TestSiglipTextConversion:
         np.testing.assert_allclose(
             np.asarray(out["pooled"]), t_out.pooler_output.numpy(), atol=2e-4
         )
+
+
+class TestExportRoundTrip:
+    def test_densenet_export_import_roundtrip(self):
+        """flax -> torch naming -> flax must be identity."""
+        from xmir_tpu.models import DenseNet121Embedder
+        from xmir_tpu.models.convert import convert_densenet121_embedder
+        from xmir_tpu.models.export import export_densenet121_embedder
+
+        model = DenseNet121Embedder(embedding_dim=16, num_labels=3)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        sd = export_densenet121_embedder(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+        )
+        assert "densenet121.0.conv0.weight" in sd
+        assert sd["fc.weight"].shape == (16, 1024)
+        back = convert_densenet121_embedder(sd)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(variables["params"]),
+            jax.tree_util.tree_leaves_with_path(back["params"]),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(variables["batch_stats"]),
+            jax.tree_util.tree_leaves(back["batch_stats"]),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
