@@ -126,3 +126,31 @@ class TestFusionCompareCLI:
         )
         assert sum(len(v) for v in groups.values()) == 30
         assert (tmp_path / "cmp" / "mismatches.html").exists()
+
+
+class TestEvaluateQueryCLI:
+    def test_single_and_multilabel(self, tmp_path):
+        from xmir_tpu.cli import evaluate_query
+
+        # single-label: first query perfect, second all wrong
+        single = [
+            {"query_label": 1, "results": [{"label": 1}, {"label": 1}]},
+            {"query_label": 0, "results": [{"label": 1}, {"label": 2}]},
+        ]
+        p = tmp_path / "s.json"
+        p.write_text(json.dumps(single))
+        m = evaluate_query.main(["--results", str(p), "--k-values", "1,2"])
+        assert m["mAP"] == pytest.approx(50.0)
+        assert m["P@2"] == pytest.approx(50.0)
+        assert m["R@1"] == pytest.approx(50.0)
+
+        # multilabel: jaccard 0.5 > 0.4 counts as relevant
+        multi = [
+            {"query_label": [1, 1, 0],
+             "results": [{"label": [1, 0, 0]}, {"label": [0, 0, 1]}]},
+        ]
+        p2 = tmp_path / "m.json"
+        p2.write_text(json.dumps(multi))
+        m2 = evaluate_query.main(["--results", str(p2), "--k-values", "1,2"])
+        assert m2["R@1"] == pytest.approx(100.0)  # jaccard([110],[100])=0.5
+        assert m2["P@2"] == pytest.approx(50.0)
