@@ -328,3 +328,24 @@ class TestVariants:
         sal = sbsm_feature_saliency(toy_embed_fn, {}, f_fn, xq, xr, masks)
         assert sal.shape == (16, 16)
         assert float(jnp.min(sal)) >= 0.0
+
+
+class TestBatchedCausal:
+    def test_matches_single_pair(self, rng):
+        from xmir_tpu.xai import run_causal_metric, run_causal_metric_pairs
+
+        h = w = 8
+        q = rng.random((h, w, 3)).astype(np.float32)
+        imgs = rng.random((3, h, w, 3)).astype(np.float32)
+        sals = rng.random((3, h, w)).astype(np.float32)
+        batch = run_causal_metric_pairs(
+            toy_embed_fn, {}, jnp.asarray(q), jnp.asarray(imgs), sals,
+            "del", zeros_substrate, step=16, batch_steps=2,
+        )
+        for p in range(3):
+            a_single, z_single, _ = run_causal_metric(
+                toy_embed_fn, {}, jnp.asarray(q), jnp.asarray(imgs[p]),
+                sals[p], "del", zeros_substrate, step=16, batch_steps=4,
+            )
+            assert batch[p][0] == pytest.approx(a_single, abs=1e-5)
+            assert batch[p][1] == z_single

@@ -47,7 +47,7 @@ def main(argv=None):
     from ..xai import (
         blur_substrate,
         generate_masks,
-        run_causal_metric,
+        run_causal_metric_pairs,
         sbsm_pair_saliency,
         zeros_substrate,
     )
@@ -99,18 +99,18 @@ def main(argv=None):
             )
             sals = [np.asarray(sal[0, j]) for j in range(len(topk_ids[qi]))]
 
-        del_aucs, ins_aucs = [], []
-        for j in range(len(topk_ids[qi])):
-            a_del, _, _ = run_causal_metric(
-                embed, variables, q_img[0], r_imgs[j], sals[j], "del",
-                zeros_substrate, step=args.step,
-            )
-            a_ins, _, _ = run_causal_metric(
-                embed, variables, q_img[0], r_imgs[j], sals[j], "ins",
-                blur, step=args.step,
-            )
-            del_aucs.append(a_del)
-            ins_aucs.append(a_ins)
+        # batched across the top-k pairs (one forward embeds all pairs'
+        # images for a chunk of steps)
+        del_res = run_causal_metric_pairs(
+            embed, variables, q_img[0], r_imgs, sals, "del",
+            zeros_substrate, step=args.step,
+        )
+        ins_res = run_causal_metric_pairs(
+            embed, variables, q_img[0], r_imgs, sals, "ins",
+            blur, step=args.step,
+        )
+        del_aucs = [a for a, _ in del_res]
+        ins_aucs = [a for a, _ in ins_res]
         rec = {
             "query_index": qi,
             "query_label": np.asarray(dataset.labels[qi]).tolist(),

@@ -25,3 +25,4 @@ from .variants import (
     sim_score_cam,
     transform_query,
 )
+from .causal import causal_scores_batch, run_causal_metric_pairs

@@ -121,6 +121,83 @@ def run_causal_metric(
     return _auc_np(clipped), zero_cntr, clipped
 
 
+@functools.partial(jax.jit, static_argnames=("embed_fn", "step", "batch_steps"))
+def causal_scores_batch(
+    embed_fn,
+    variables,
+    q_feat: jnp.ndarray,
+    starts: jnp.ndarray,
+    finishes: jnp.ndarray,
+    ranks: jnp.ndarray,
+    step: int,
+    batch_steps: int = 8,
+):
+    """Score curves for P pairs sharing one query, batched: each chunk embeds
+    P * batch_steps images in one forward (vs the reference's one forward per
+    step per pair, evaluation.py:100-136).
+
+    starts/finishes: (P, H, W, C); ranks: (P, hw); q_feat: (D,).
+    Returns (P, n_steps+1) float32 unclipped cosine scores.
+    """
+    p_n, h, w, c = starts.shape
+    hw = h * w
+    n_steps = -(-hw // step)
+    rank_img = ranks.reshape(p_n, h, w)
+
+    step_ids = jnp.arange(n_steps + 1)
+    pad = (-(n_steps + 1)) % batch_steps
+    step_ids = jnp.concatenate([step_ids, jnp.zeros((pad,), step_ids.dtype)])
+    chunks = step_ids.reshape(-1, batch_steps)
+    qn = q_feat / jnp.maximum(jnp.linalg.norm(q_feat), 1e-12)
+
+    def one_chunk(ids):
+        # (bs, P, H, W) mask -> (bs*P, H, W, C) images
+        mask = rank_img[None] < (ids[:, None, None, None] * step)
+        imgs = jnp.where(mask[..., None], finishes[None], starts[None])
+        imgs = imgs.reshape(batch_steps * p_n, h, w, c)
+        embs = embed_fn(variables, imgs)
+        en = embs / jnp.maximum(jnp.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
+        return (en @ qn).reshape(batch_steps, p_n)
+
+    scores = jax.lax.map(one_chunk, chunks)  # (n_chunks, bs, P)
+    scores = scores.reshape(-1, p_n)[: n_steps + 1]
+    return scores.T  # (P, n_steps+1)
+
+
+def run_causal_metric_pairs(
+    embed_fn,
+    variables,
+    query_image: jnp.ndarray,
+    retrieved_images: jnp.ndarray,
+    explanations,
+    mode: Literal["del", "ins"],
+    substrate_fn: Callable,
+    step: int = 224,
+    batch_steps: int = 8,
+):
+    """Batched multi-pair run for one query. retrieved_images (P, H, W, C),
+    explanations (P, H, W). Returns lists of (auc, zero_count) per pair."""
+    q_feat = embed_fn(variables, query_image[None])[0]
+    subs = substrate_fn(retrieved_images)
+    if mode == "del":
+        starts, finishes = retrieved_images, subs
+    elif mode == "ins":
+        starts, finishes = subs, retrieved_images
+    else:
+        raise ValueError("mode must be 'del' or 'ins'")
+    ranks = jnp.stack([saliency_rank(jnp.asarray(e)) for e in explanations])
+    scores = np.asarray(
+        causal_scores_batch(
+            embed_fn, variables, q_feat, starts, finishes, ranks, step, batch_steps
+        )
+    )
+    out = []
+    for p in range(scores.shape[0]):
+        clipped = np.clip(scores[p], 0.0, 1.0)
+        out.append((_auc_np(clipped), int((scores[p] < 0).sum())))
+    return out
+
+
 def zeros_substrate(images):
     return jnp.zeros_like(images)
 
