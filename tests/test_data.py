@@ -296,3 +296,24 @@ class TestSkipErrors:
         assert total == 7  # one skipped
         all_idx = np.concatenate([b[2] for b in batches])
         assert 3 not in all_idx
+
+
+class TestShardedEmbed:
+    def test_mesh_sharded_eval_matches_single(self):
+        """Mesh-sharded embedding extraction must equal the unsharded path —
+        the DDP-eval-with-all_gather equivalence (reference train.py:600-609)."""
+        from xmir_tpu.data import SyntheticImageDataset, embed_dataset
+        from xmir_tpu.models.registry import ModelSpec
+        from xmir_tpu.parallel import make_mesh
+
+        ds = SyntheticImageDataset(n=20, size=24)
+
+        def embed_fn(variables, x):
+            return jnp.mean(x, axis=(1, 2))
+
+        spec = ModelSpec("fake", None, 16, 20, 3, (0.5,)*3, (0.5,)*3)
+        e1, l1 = embed_dataset(ds, embed_fn, {}, spec, batch_size=8)
+        mesh = make_mesh()
+        e2, l2 = embed_dataset(ds, embed_fn, {}, spec, batch_size=8, mesh=mesh)
+        np.testing.assert_allclose(e1, e2, atol=1e-6)
+        np.testing.assert_array_equal(l1, l2)

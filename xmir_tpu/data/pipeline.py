@@ -130,17 +130,28 @@ def embed_dataset(
     batch_size: int = 64,
     num_workers: int = 8,
     skip_errors: bool = False,
+    mesh=None,
 ):
     """Embed every item: the test.py/ingest hot loop (test.py:1070-1078,
     ingest_embeddings.py:278-316). Pads the tail batch for one compiled shape.
+
+    With a mesh, batches shard over the `data` axis (the reference's
+    DDP-sharded eval + dist.all_gather of embeddings, train.py:600-609 — the
+    gather is just reading the sharded output).
 
     Returns (embeddings (N, D) float32 np, labels np array).
     """
     from .transforms import eval_preprocess
 
+    if mesh is not None:
+        from ..parallel import batch_sharding
+
+        sharding = batch_sharding(mesh)
+        n_data = mesh.shape["data"]
+        batch_size = -(-batch_size // n_data) * n_data  # divisible batches
+
     host_size = spec.resize_size
     embeds, labels = [], []
-    n = len(dataset)
     for imgs, labs, idxs in batch_iterator(
         dataset, batch_size, image_size=host_size, num_workers=num_workers,
         skip_errors=skip_errors,
@@ -150,6 +161,10 @@ def embed_dataset(
             pad = batch_size - real
             imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
         x = eval_preprocess(imgs, spec.resize_size, spec.input_size, spec.mean, spec.std)
+        if mesh is not None:
+            import jax as _jax
+
+            x = _jax.device_put(x, sharding)
         e = embed_fn(variables, x)
         embeds.append(np.asarray(e[:real]))
         labels.extend(np.asarray(labs).tolist())
