@@ -182,46 +182,84 @@ void resize_bilinear_gray(const float* src, int sh, int sw, uint8_t* dst,
   }
 }
 
+// Read a 3-channel array as interleaved float RGB (HWC order).
+template <typename T>
+void gather_rgb(const T* s, float* dst, int64_t n, bool chw) {
+  if (chw) {
+    for (int64_t i = 0; i < n; i++) {
+      dst[3 * i + 0] = (float)s[i];
+      dst[3 * i + 1] = (float)s[n + i];
+      dst[3 * i + 2] = (float)s[2 * n + i];
+    }
+  } else {
+    for (int64_t i = 0; i < 3 * n; i++) dst[i] = (float)s[i];
+  }
+}
+
 // Load one npy, normalize, resize, write (out_h, out_w, 3) uint8 RGB.
 int load_one(const char* path, uint8_t* out, int out_h, int out_w) {
   NpyArray arr;
   if (!parse_npy(path, &arr)) return -1;
-  int64_t h, w;
-  int64_t channel_stride = 0;
+  int64_t h, w, c = 1;
+  bool chw = false;
   if (arr.shape.size() == 2) {
     h = arr.shape[0];
     w = arr.shape[1];
   } else if (arr.shape.size() == 3 && (arr.shape[0] == 1 || arr.shape[0] == 3)) {
+    c = arr.shape[0];
     h = arr.shape[1];
-    w = arr.shape[2];  // CHW: use channel 0
+    w = arr.shape[2];
+    chw = true;
   } else if (arr.shape.size() == 3 && (arr.shape[2] == 1 || arr.shape[2] == 3)) {
     h = arr.shape[0];
     w = arr.shape[1];
-    channel_stride = arr.shape[2];  // HWC: use channel 0
+    c = arr.shape[2];
   } else {
     return -2;
   }
   int64_t n = h * w;
   std::vector<float> gray(n);
-  if (channel_stride > 1) {
-    // strided HWC first channel -> contiguous, then normalize
-    std::vector<float> tmp(n);
+  if (c == 3) {
+    // Reference path for RGB inputs (read_data.py:71-90,188): min-max
+    // normalize the WHOLE array jointly to uint8 (truncating astype), then
+    // PIL convert("L") ITU-R 601-2 luma (r*19595 + g*38470 + b*7471 + 0x8000
+    // >> 16).
+    std::vector<float> rgb((size_t)3 * n);
     switch (arr.dtype) {
-      case 'f': {
-        const float* s = (const float*)arr.data;
-        for (int64_t i = 0; i < n; i++) tmp[i] = s[i * channel_stride];
-        break;
-      }
-      case 'B': {
-        const uint8_t* s = (const uint8_t*)arr.data;
-        for (int64_t i = 0; i < n; i++) tmp[i] = s[i * channel_stride];
-        break;
-      }
-      default:
-        return -3;
+      case 'f': gather_rgb((const float*)arr.data, rgb.data(), n, chw); break;
+      case 'd': gather_rgb((const double*)arr.data, rgb.data(), n, chw); break;
+      case 'B': gather_rgb((const uint8_t*)arr.data, rgb.data(), n, chw); break;
+      case 'H': gather_rgb((const uint16_t*)arr.data, rgb.data(), n, chw); break;
+      case 'h': gather_rgb((const int16_t*)arr.data, rgb.data(), n, chw); break;
+      case 'i': gather_rgb((const int32_t*)arr.data, rgb.data(), n, chw); break;
+      default: return -3;
     }
-    minmax_to_float(tmp.data(), gray.data(), n);
+    if (arr.dtype != 'B') {
+      float lo = rgb[0], hi = rgb[0];
+      for (int64_t i = 1; i < 3 * n; i++) {
+        lo = std::min(lo, rgb[i]);
+        hi = std::max(hi, rgb[i]);
+      }
+      float range = hi - lo;
+      if (range <= 0.f) {
+        std::fill(rgb.begin(), rgb.end(), 0.f);
+      } else {
+        float inv = 255.f / range;
+        for (int64_t i = 0; i < 3 * n; i++) {
+          float v = (rgb[i] - lo) * inv;
+          // np.clip(...).astype(np.uint8) truncates
+          rgb[i] = (float)(uint8_t)std::min(std::max(v, 0.f), 255.f);
+        }
+      }
+    }
+    for (int64_t i = 0; i < n; i++) {
+      uint32_t r = (uint32_t)rgb[3 * i + 0];
+      uint32_t g = (uint32_t)rgb[3 * i + 1];
+      uint32_t b = (uint32_t)rgb[3 * i + 2];
+      gray[i] = (float)((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16);
+    }
   } else {
+    // single channel (2D, CHW c=1, or HWC c=1): contiguous n-element plane
     switch (arr.dtype) {
       case 'f': minmax_to_float((const float*)arr.data, gray.data(), n); break;
       case 'd': minmax_to_float((const double*)arr.data, gray.data(), n); break;

@@ -4,6 +4,7 @@ full flow with random-init weights on a tiny dataset."""
 import json
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -154,3 +155,64 @@ class TestEvaluateQueryCLI:
         m2 = evaluate_query.main(["--results", str(p2), "--k-values", "1,2"])
         assert m2["R@1"] == pytest.approx(100.0)  # jaccard([110],[100])=0.5
         assert m2["P@2"] == pytest.approx(50.0)
+
+
+class TestTrainCLI:
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        """Train 2 epochs, stop, resume to 4 -> bit-identical final state to
+        an uninterrupted 4-epoch run (full-state resume: params + opt_state +
+        step + epoch; closes the reference's restart-at-epoch-1 deficiency,
+        train.py:767-778)."""
+        from flax import serialization
+
+        from xmir_tpu.cli import train as train_cli
+
+        def run(save_dir, epochs, resume=""):
+            argv = [
+                "--dataset", "synthetic", "--model", "tiny",
+                "--embedding-dim", "16", "--labels-per-batch", "2",
+                "--samples-per-label", "8", "--epochs", str(epochs),
+                "--eval-freq", "100", "--ckpt-every", "1", "--workers", "2",
+                "--lr", "0.01", "--seed", "3", "--save-dir", str(save_dir),
+            ]
+            if resume:
+                argv += ["--resume", resume]
+            train_cli.main(argv)
+
+        full = tmp_path / "full"
+        inter = tmp_path / "interrupted"
+        run(full, 4)
+        run(inter, 2)
+        ckpt2 = inter / "synthetic_tiny_embed_16_seed_3_epoch_2_ckpt.msgpack"
+        assert ckpt2.exists()
+        run(inter, 4, resume=str(ckpt2))
+
+        name4 = "synthetic_tiny_embed_16_seed_3_epoch_4_ckpt.msgpack"
+        a = serialization.msgpack_restore((full / name4).read_bytes())
+        b = serialization.msgpack_restore((inter / name4).read_bytes())
+        assert a["epoch"] == b["epoch"] == 4
+        leaves_a = jax.tree_util.tree_leaves(a["params"])
+        leaves_b = jax.tree_util.tree_leaves(b["params"])
+        assert leaves_a and len(leaves_a) == len(leaves_b)
+        for x, y in zip(leaves_a, leaves_b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(
+            jax.tree_util.tree_leaves(a["opt_state"]),
+            jax.tree_util.tree_leaves(b["opt_state"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_nonfinite_loss_aborts(self, tmp_path):
+        """Emergency halt on divergence (reference train.py:332-336)."""
+        from xmir_tpu.cli import train as train_cli
+
+        with pytest.raises(ValueError, match="non-finite"):
+            train_cli.main([
+                "--dataset", "synthetic", "--model", "tiny",
+                "--embedding-dim", "16", "--labels-per-batch", "2",
+                "--samples-per-label", "4", "--epochs", "3",
+                "--loss-name", "triplet_hard", "--margin", "10",
+                "--eval-freq", "100", "--workers", "2", "--print-freq", "1",
+                "--lr", "1e12", "--seed", "0",  # diverges immediately
+                "--save-dir", str(tmp_path),
+            ])

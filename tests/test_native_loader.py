@@ -91,3 +91,35 @@ class TestNIHNativeIntegration:
         imgs, labels, idxs = _decode_batch(ds, [0], 48)
         assert imgs.shape == (1, 48, 48, 3)
         assert labels.shape[0] == 1
+
+
+class TestNativeLoaderRGB:
+    """3-channel inputs: joint min-max normalize then PIL convert('L') luma
+    (reference read_data.py:71-90,188), not channel 0."""
+
+    @pytest.mark.parametrize("layout", ["hwc", "chw"])
+    @pytest.mark.parametrize("dtype", [np.float32, np.uint8])
+    def test_rgb_luma_matches_python(self, tmp_path, rng, dtype, layout):
+        shape = (3, 60, 70) if layout == "chw" else (60, 70, 3)
+        if dtype == np.uint8:
+            arr = rng.integers(0, 255, shape).astype(np.uint8)
+        else:
+            arr = (rng.random(shape) * 7.0 - 3.0).astype(np.float32)
+        p = tmp_path / f"rgb_{layout}.npy"
+        np.save(p, arr)
+        native = native_loader.load_npy_image(str(p), 48, 48)
+        ref = _python_path(arr, 48, 48)
+        diff = np.abs(native.astype(int) - ref.astype(int))
+        assert np.median(diff) <= 1
+        assert diff.mean() < 3
+
+    def test_rgb_differs_from_channel0(self, tmp_path, rng):
+        """Regression: a green-dominant image must not produce channel-0
+        (red-only) grayscale."""
+        arr = np.zeros((40, 40, 3), np.uint8)
+        arr[..., 1] = 200  # green only
+        p = tmp_path / "green.npy"
+        np.save(p, arr)
+        out = native_loader.load_npy_image(str(p), 40, 40)
+        # PIL luma of (0, 200, 0) = 200*38470+0x8000 >> 16 = 117
+        assert abs(int(out[20, 20, 0]) - 117) <= 1

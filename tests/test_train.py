@@ -307,3 +307,69 @@ class TestTensorParallel:
             params_sh, xs
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestGradAccumulation:
+    def test_params_update_every_k_with_mean_grads(self, rng):
+        """MultiSteps-wrapped state: no param change on microbatch 1, then an
+        update equal to SGD on the mean of the two microbatch gradients."""
+        from xmir_tpu.losses import triplet_margin_loss
+        from xmir_tpu.train import with_grad_accumulation
+
+        model = TinyEmbedder()
+        x1, l1 = _cluster_batch(rng)
+        x2, l2 = _cluster_batch(np.random.default_rng(1))
+        lr = 0.1
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), x1, optax.sgd(lr)
+        )
+        p0 = jax.device_get(state.params)
+        state = with_grad_accumulation(state, 2)
+        step = jax.jit(make_embedding_train_step(model, "triplet_hard"))
+
+        state, _ = step(state, x1, l1)
+        mid = jax.device_get(state.params)
+        for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(mid)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        state, _ = step(state, x2, l2)
+        final = jax.device_get(state.params)
+
+        def loss(params, x, l):
+            out = model.apply({"params": params}, x, train=True)
+            return triplet_margin_loss(
+                out["embedding"].astype(jnp.float32), l, mining="batch_hard"
+            )[0]
+
+        g1 = jax.grad(loss)(p0, x1, l1)
+        g2 = jax.grad(loss)(p0, x2, l2)
+        expected = jax.tree_util.tree_map(
+            lambda p, a, b: np.asarray(p) - lr * (np.asarray(a) + np.asarray(b)) / 2,
+            p0, g1, g2,
+        )
+        for e, f in zip(
+            jax.tree_util.tree_leaves(expected), jax.tree_util.tree_leaves(final)
+        ):
+            np.testing.assert_allclose(np.asarray(f), e, rtol=1e-5, atol=1e-6)
+
+
+class TestRemat:
+    def test_remat_step_matches_plain(self, rng):
+        model = TinyEmbedder()
+        x, labels = _cluster_batch(rng)
+        tx = build_optimizer(
+            model.init(jax.random.PRNGKey(0), x)["params"], lr=1e-2
+        )
+        state = create_train_state(model, jax.random.PRNGKey(0), x, tx)
+        s1, m1 = jax.jit(make_embedding_train_step(model, "triplet_hard"))(
+            state, x, labels
+        )
+        s2, m2 = jax.jit(
+            make_embedding_train_step(model, "triplet_hard", remat=True)
+        )(state, x, labels)
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+            jax.tree_util.tree_leaves(jax.device_get(s2.params)),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

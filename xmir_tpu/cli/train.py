@@ -8,6 +8,7 @@ batch over the mesh data axis (XLA inserts the gradient psum).
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import jax
@@ -52,6 +53,13 @@ def parse_args(argv=None):
     p.add_argument("--metrics-log", default="",
                    help="Append per-step/eval metrics as JSONL (observability)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    p.add_argument("--accum-steps", default=1, type=int,
+                   help="Gradient accumulation: update params every N batches")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize the forward pass in backward "
+                        "(gradient checkpointing)")
+    p.add_argument("--ckpt-every", default=10, type=int,
+                   help="Periodic checkpoint interval in epochs")
     return p.parse_args(argv)
 
 
@@ -106,6 +114,36 @@ def main(argv=None):
     state = create_train_state(
         model, jax.random.PRNGKey(args.seed), None, tx, variables=variables
     )
+    if args.accum_steps > 1:
+        from ..train import with_grad_accumulation
+
+        state = with_grad_accumulation(state, args.accum_steps)
+        print(f">> gradient accumulation over {args.accum_steps} microbatches")
+
+    # Full-state resume: build_model already merged params/batch_stats; for
+    # native checkpoints also restore opt_state/step/epoch so resume is exact
+    # (closes the reference's restart-at-epoch-1 deficiency, train.py:767-778).
+    start_epoch = 1
+    if args.resume and not args.resume.endswith((".pt", ".pth")):
+        from flax import serialization
+
+        from ..utils import load_checkpoint
+
+        loaded = load_checkpoint(args.resume)
+        if isinstance(loaded, dict) and "opt_state" in loaded:
+            try:
+                state = state.replace(
+                    opt_state=serialization.from_state_dict(
+                        state.opt_state, loaded["opt_state"]
+                    ),
+                    step=jnp.asarray(loaded.get("step", 0), jnp.int32),
+                )
+                start_epoch = int(np.asarray(loaded.get("epoch", 0))) + 1
+                print(f">> resumed optimizer state at step "
+                      f"{int(state.step)}; continuing from epoch {start_epoch}")
+            except (ValueError, KeyError) as exc:
+                print(f">> opt_state in checkpoint does not match optimizer "
+                      f"({exc}); resuming params only")
 
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if loss_name == "dual_branch":
@@ -127,7 +165,8 @@ def main(argv=None):
         elif loss_name in ("supcon", "jaccard_supcon"):
             kwargs["temperature"] = args.supcon_temperature
         step_fn = make_embedding_train_step(
-            model, loss_name, kwargs, compute_dtype=compute_dtype
+            model, loss_name, kwargs, compute_dtype=compute_dtype,
+            remat=args.remat,
         )
     step = jax.jit(step_fn)
 
@@ -141,18 +180,20 @@ def main(argv=None):
 
     batch_size = args.batch_size or args.labels_per_batch * args.samples_per_label
     multilabel = is_multilabel(args.dataset)
-    rng = jax.random.PRNGKey(args.seed)
 
+    name_kwargs = dict(
+        dataset=args.dataset, model=args.model,
+        embedding_dim=args.embedding_dim, anomaly=args.anomaly,
+        rand_resize=args.rand_resize, seed=args.seed,
+    )
     policy = BestCheckpointPolicy(
-        args.save_dir,
-        dict(
-            dataset=args.dataset, model=args.model,
-            embedding_dim=args.embedding_dim, anomaly=args.anomaly,
-            rand_resize=args.rand_resize, seed=args.seed,
-        ),
+        args.save_dir, name_kwargs, periodic_every=args.ckpt_every
     )
 
-    for epoch in range(1, args.epochs + 1):
+    for epoch in range(start_epoch, args.epochs + 1):
+        # per-epoch rng derived from (seed, epoch), so resume-at-epoch-k
+        # replays exactly the batches/augmentations of an uninterrupted run
+        rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
         if args.use_random_sampler:
             indices = np.random.permutation(len(train_ds)).tolist()
         elif multilabel:
@@ -194,6 +235,15 @@ def main(argv=None):
             state, metrics = step(state, x, labels)
             if i % args.print_freq == 0:
                 loss = float(metrics["loss"])
+                # emergency halt on divergence (reference train.py:332-336);
+                # checked on every fetched loss rather than every step to
+                # avoid a per-step device sync
+                if not np.isfinite(loss):
+                    print(f"[ERROR] Non-finite loss at iter {i}, "
+                          f"epoch {epoch}: {loss}")
+                    raise ValueError(
+                        "Training diverged: non-finite loss detected"
+                    )
                 step_losses.append(loss)
                 print(f"epoch {epoch} step {i}: loss {loss:.4f}")
                 if args.metrics_log:
@@ -203,7 +253,23 @@ def main(argv=None):
                     })
         print(f">> epoch {epoch} done in {time.time() - t0:.1f}s")
 
-        if val_ds is not None and epoch % args.eval_freq == 0:
+        ckpt_tree = {
+            "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step, "epoch": epoch,
+        }
+        ran_eval = val_ds is not None and epoch % args.eval_freq == 0
+        if epoch % args.ckpt_every == 0 and not ran_eval:
+            from ..utils import checkpoint_name, save_checkpoint
+
+            save_checkpoint(
+                os.path.join(
+                    args.save_dir,
+                    checkpoint_name(**name_kwargs, epoch=epoch, is_best=False),
+                ),
+                ckpt_tree,
+                metadata={"epoch": epoch},
+            )
+        if ran_eval:
             from ..data.pipeline import embed_dataset
             from ..metrics import train_eval_multilabel, train_eval_single_label
 
@@ -226,11 +292,7 @@ def main(argv=None):
                 _log_jsonl(args.metrics_log, {
                     "kind": "eval", "epoch": epoch, "time": time.time(), **m,
                 })
-            saved = policy.update(
-                epoch, m["mAP"],
-                {"params": state.params, "batch_stats": state.batch_stats,
-                 "opt_state": state.opt_state, "step": state.step},
-            )
+            saved = policy.update(epoch, m["mAP"], ckpt_tree)
             if saved:
                 print(f">> new best mAP {m['mAP']:.3f}% -> {saved}")
 

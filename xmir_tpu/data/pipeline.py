@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Iterator, List, Optional, Sequence
 
@@ -89,13 +90,27 @@ def batch_iterator(
         batches.pop()
     if not batches:
         return
+    # Bounded in-flight window (~2x workers): decoded uint8 batches otherwise
+    # accumulate unboundedly when the consumer is slower than the decoders —
+    # a 100k-image ingest would hold GBs of decoded images on the host.
+    window = max(2 * num_workers, 2)
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        futures = [
+        pending = deque(
             pool.submit(_decode_batch, dataset, b, image_size, skip_errors)
-            for b in batches
-        ]
-        for fut in futures:
+            for b in batches[:window]
+        )
+        next_batch = window
+        while pending:
+            fut = pending.popleft()
             imgs, labels, idxs = fut.result()
+            if next_batch < len(batches):
+                pending.append(
+                    pool.submit(
+                        _decode_batch, dataset, batches[next_batch],
+                        image_size, skip_errors,
+                    )
+                )
+                next_batch += 1
             if imgs.shape[0] == 0:
                 continue
             yield imgs, labels, idxs

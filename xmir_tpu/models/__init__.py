@@ -12,6 +12,7 @@ from .embedders import (
     NIHDualHeadModel,
     ResNet50Embedder,
     SwinV2Embedder,
+    TinyEmbedder,
 )
 from .densenet import DenseNetBackbone, densenet121
 from .resnet import ResNetBackbone, resnet50

@@ -27,10 +27,28 @@ from .swin import SwinV2Backbone
 from .vit import ViTBackbone
 
 
-class _EmbedderMixin:
-    """Shared "fc + optional classification head" tail
-    (reference model.py:9-84: flatten -> optional fc -> normalize, with a
-    dual-branch logits head on UN-normalized features)."""
+class TinyEmbedder(nn.Module):
+    """Small 3-conv debug backbone (not in the reference): compiles in
+    seconds, used by CLI smoke tests and quick local experiments. Same output
+    contract as every production embedder."""
+
+    embedding_dim: Optional[int] = None
+    num_labels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = x
+        for i, ch in enumerate((16, 32, 64)):
+            h = nn.Conv(ch, (3, 3), strides=(2, 2), name=f"backbone_conv{i}")(h)
+            h = nn.relu(h)
+        features = h
+        feat = jnp.mean(h, axis=(1, 2))
+        if self.embedding_dim:
+            feat = nn.Dense(self.embedding_dim, name="fc")(feat)
+        result = {"embedding": l2_normalize(feat, axis=1), "features": features}
+        if self.num_labels:
+            result["logits"] = nn.Dense(self.num_labels, name="classification_head")(feat)
+        return result
 
 
 class DenseNet121Embedder(nn.Module):

@@ -41,6 +41,7 @@ def _specs():
         NIHDualHeadModel,
         ResNet50Embedder,
         SwinV2Embedder,
+        TinyEmbedder,
     )
 
     # resize/crop sizes follow reference transforms (train.py:928-993,
@@ -91,6 +92,9 @@ def _specs():
             kwargs=(("backbone", "convnextv2"),),
         ),
         "ath": ModelSpec("ath", ATHEmbedder, 256, 256, 48),
+        # debug-only backbone (not in the reference): compiles in seconds,
+        # for CLI smoke tests / quick experiments
+        "tiny": ModelSpec("tiny", TinyEmbedder, 64, 64, 64),
     }
 
 

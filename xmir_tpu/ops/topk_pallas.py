@@ -200,7 +200,9 @@ def fused_topk(
         sq = jnp.where(queries >= 0, 1.0, -1.0).astype(jnp.float32)
         sg = jnp.where(gallery >= 0, 1.0, -1.0).astype(jnp.float32)
         bias = jnp.zeros((sg.shape[0],), jnp.float32)
-        vals, idxs = fused_topk_scores(sq, sg, bias, k, tile_q, tile_g, interpret)
+        vals, idxs = fused_topk_scores(
+            sq, sg, bias, k, tile_q, tile_g, interpret, compute_dtype
+        )
         d = queries.shape[-1]
         return -(d - vals) / 2.0, idxs
     raise ValueError(f"unknown metric {metric!r}")

@@ -12,4 +12,5 @@ from .steps import (
     make_dual_branch_train_step,
     make_embed_fn,
     make_embedding_train_step,
+    with_grad_accumulation,
 )

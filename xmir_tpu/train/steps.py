@@ -59,18 +59,30 @@ def make_embedding_train_step(
     loss_name: str = "triplet",
     loss_kwargs: Optional[dict] = None,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ):
-    """Generic metric-learning step (reference train_epoch, train.py:47-148)."""
+    """Generic metric-learning step (reference train_epoch, train.py:47-148).
+
+    remat=True rematerializes the forward pass during backward
+    (jax.checkpoint): activation memory drops to ~O(1) model outputs at the
+    cost of one extra forward — the gradient-checkpointing equivalent of the
+    reference's HF-Trainer flag (train_medsiglip.py:248)."""
     loss_kwargs = loss_kwargs or {}
     loss_fn = LOSS_FNS[loss_name]
 
     def step(state, images, labels):
         images = images.astype(compute_dtype)
 
-        def losses(params):
+        def forward(params):
             out, new_stats = _train_apply(model, params, state.batch_stats, images)
             emb = out["embedding"] if isinstance(out, dict) else out
-            loss, aux = loss_fn(emb.astype(jnp.float32), labels, **loss_kwargs)
+            return emb.astype(jnp.float32), new_stats
+
+        fwd = jax.checkpoint(forward) if remat else forward
+
+        def losses(params):
+            emb, new_stats = fwd(params)
+            loss, aux = loss_fn(emb, labels, **loss_kwargs)
             return loss, (aux, new_stats)
 
         (loss, (aux, new_stats)), grads = jax.value_and_grad(losses, has_aux=True)(
@@ -195,28 +207,18 @@ def make_conceptclip_train_step(model, alpha: float = 0.5, compute_dtype=jnp.flo
     return step
 
 
-def with_grad_accumulation(step_fn, accum_steps: int):
-    """Wrap a (state, images, labels) step to average gradients over
-    `accum_steps` microbatches (reference relies on HF Trainer for this,
-    train_medsiglip.py:285-287; here it is an optax MultiSteps wrap at the
-    optimizer level applied through the step's apply_gradients)."""
+def with_grad_accumulation(state, accum_steps: int):
+    """Return a state whose optimizer is wrapped in optax.MultiSteps: every
+    step call becomes a microbatch — gradients accumulate (averaged) across
+    `accum_steps` calls and parameters update on the accum_steps-th (the
+    reference relies on HF Trainer for this, train_medsiglip.py:285-287).
+
+    Works with any step produced by the make_*_train_step factories, since
+    they all route updates through state.tx/apply_gradients."""
     import optax
 
-    def wrap_state(state):
-        return state.replace(
-            tx=optax.MultiSteps(state.tx, every_k_schedule=accum_steps),
-            opt_state=optax.MultiSteps(
-                state.tx, every_k_schedule=accum_steps
-            ).init(state.params),
-        )
-
-    return wrap_state
-
-
-def rematerialized(model_apply):
-    """jax.checkpoint (remat) wrapper for memory-bound training — trades
-    recompute for activation memory (SURVEY.md §2.10 gradient checkpointing)."""
-    return jax.checkpoint(model_apply)
+    tx = optax.MultiSteps(state.tx, every_k_schedule=accum_steps)
+    return state.replace(tx=tx, opt_state=tx.init(state.params))
 
 
 def make_embed_fn(model, compute_dtype=jnp.float32):
