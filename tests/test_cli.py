@@ -216,3 +216,54 @@ class TestTrainCLI:
                 "--lr", "1e12", "--seed", "0",  # diverges immediately
                 "--save-dir", str(tmp_path),
             ])
+
+
+class TestTextCLIs:
+    """WordPiece --vocab plumbing through the dual-encoder train/eval CLIs
+    (VERDICT item 3: real tokenizer reachable from ConceptCLIP/MedSigLIP
+    train/eval entry points)."""
+
+    VOCAB = [
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+        "a", "chest", "x", "-", "ray", "showing", "no", "evidence", "of",
+        "pneumonia", "or", "covid", "19", "infection", ".", "findings",
+        "consistent", "with",
+    ]
+
+    def _vocab_file(self, tmp_path):
+        p = tmp_path / "vocab.txt"
+        p.write_text("\n".join(self.VOCAB) + "\n", encoding="utf-8")
+        return str(p)
+
+    def test_medsiglip_vocab_train_then_zeroshot(self, tmp_path):
+        from xmir_tpu.cli import train_medsiglip, zeroshot
+
+        vocab = self._vocab_file(tmp_path)
+        ck = str(tmp_path / "ms.msgpack")
+        train_medsiglip.main([
+            "--dataset", "synthetic", "--epochs", "1", "--batch-size", "8",
+            "--dim", "32", "--depth", "2", "--image-size", "28",
+            "--seq-len", "16", "--vocab-size", "64", "--vocab", vocab,
+            "--save", ck,
+        ])
+        res = zeroshot.main([
+            "--dataset", "synthetic", "--model", "tiny",
+            "--embedding-dim", "32", "--dual-checkpoint", ck,
+            "--vocab", vocab, "--seq-len", "16", "--text-dim", "32",
+            "--text-depth", "2", "--text-vocab-size", "64",
+            "--eval-batch-size", "16",
+        ])
+        assert 0.0 <= res["accuracy"] <= 1.0
+        assert len(res["class_names"]) == 3
+
+    def test_conceptclip_vocab_smoke(self, tmp_path):
+        from xmir_tpu.cli import train_conceptclip
+
+        vocab = self._vocab_file(tmp_path)
+        train_conceptclip.main([
+            "--dataset", "synthetic", "--epochs", "1", "--batch-size", "6",
+            "--image-size", "28", "--dim", "32", "--depth", "2",
+            "--text-depth", "2", "--seq-len", "16", "--concept-len", "8",
+            "--max-concepts", "2", "--vocab-size", "64", "--vocab", vocab,
+            "--save", str(tmp_path / "cc.msgpack"),
+        ])

@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--seq-len", default=64, type=int)
     p.add_argument("--concept-len", default=16, type=int)
     p.add_argument("--token-table", default="")
+    p.add_argument("--vocab", default="",
+                   help="BERT vocab.txt: use real WordPiece tokenization "
+                        "(matches transformers.BertTokenizer)")
     p.add_argument("--image-size", default=384, type=int)
     p.add_argument("--dim", default=1152, type=int)
     p.add_argument("--depth", default=27, type=int)
@@ -71,7 +74,13 @@ def main(argv=None):
         if args.token_table
         else None
     )
-    tok = HashWordTokenizer(args.vocab_size, args.seq_len, table)
+    if args.vocab:
+        from ..data.wordpiece import BertWordPieceTokenizer
+
+        tok = BertWordPieceTokenizer(args.vocab, max_len=args.seq_len)
+        args.vocab_size = max(args.vocab_size, tok.vocab_size)
+    else:
+        tok = HashWordTokenizer(args.vocab_size, args.seq_len, table)
 
     from ..models.embedders import ConceptCLIPModel
 

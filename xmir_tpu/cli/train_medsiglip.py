@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--freeze-text", action="store_true")
     p.add_argument("--unfreeze-layers", default=2, type=int)
     p.add_argument("--token-table", default="", help="JSON {label: [ids]}")
+    p.add_argument("--vocab", default="",
+                   help="Vocab file: tokenize class prompt templates with "
+                        "real WordPiece instead of synthetic ids")
     p.add_argument("--seq-len", default=64, type=int)
     p.add_argument("--vocab-size", default=256000, type=int)
     p.add_argument("--dim", default=1152, type=int)
@@ -53,7 +56,21 @@ def main(argv=None):
     labels = np.asarray(train_ds.labels)
     classes = sorted(set(labels.tolist()))
 
-    if args.token_table:
+    if args.vocab:
+        # class-label prompt templates through real WordPiece
+        # (reference train_medsiglip.py:21-25 COVIDX_LABEL_TO_TEXT)
+        from ..data.wordpiece import BertWordPieceTokenizer
+        from ..models import COVIDX_LABEL_TO_TEXT
+
+        tok = BertWordPieceTokenizer(args.vocab, max_len=args.seq_len)
+        args.vocab_size = max(args.vocab_size, tok.vocab_size)
+        table = {}
+        for c in classes:
+            text = COVIDX_LABEL_TO_TEXT.get(
+                int(c), f"A medical image of class {int(c)}."
+            )
+            table[int(c)] = tok.encode_padded([text], args.seq_len)[0][0].tolist()
+    elif args.token_table:
         table = {int(k): v for k, v in json.load(open(args.token_table)).items()}
     else:
         # deterministic synthetic per-class token ids (class-separable texts)

@@ -26,3 +26,5 @@ from .synthetic import (
 )
 from .transforms import eval_preprocess, train_preprocess, preprocess_for_spec
 from .pipeline import batch_iterator, embed_dataset, prefetch_to_device
+from .tokenizer import HashWordTokenizer
+from .wordpiece import BertWordPieceTokenizer, build_text_tokenizer
