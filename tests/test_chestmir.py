@@ -238,3 +238,138 @@ class TestDetectionService:
         )
         assert out.shape == img.shape
         assert out.sum() > 0  # something drawn
+
+
+class TestYoloDecode:
+    """Raw YOLO output decode + 8-variant TTA (reference
+    inference.py:100-273,343-385): golden semantics via mask-oracle
+    roundtrips and a content-aware synthetic detector."""
+
+    def test_tta_box_roundtrip_all_8_variants(self):
+        from xmir_tpu.chestmir import get_tta_pair
+
+        h, w = 90, 140
+        box = (30, 20, 70, 60)
+        mask = np.zeros((h, w), np.uint8)
+        mask[box[1]:box[3], box[0]:box[2]] = 1
+        for ind in range(8):
+            image_fn, box_fn = get_tta_pair(ind)
+            t = image_fn(mask)
+            th, tw = t.shape[:2]
+            rows = np.any(t, axis=1).nonzero()[0]
+            cols = np.any(t, axis=0).nonzero()[0]
+            tbox = (cols[0], rows[0], cols[-1] + 1, rows[-1] + 1)
+            back = tuple(box_fn(tbox, th, tw))
+            assert back == box, f"TTA {ind}: {back} != {box}"
+
+    def test_nms_class_offsets_and_agnostic(self):
+        from xmir_tpu.chestmir import non_max_suppression
+
+        # two near-identical boxes, different argmax classes
+        pred = np.array([[
+            [50, 50, 20, 20, 0.9, 0.99, 0.01],
+            [51, 51, 20, 20, 0.8, 0.01, 0.99],
+        ]], np.float32)
+        per_class = non_max_suppression(pred, conf_thres=0.1, iou_thres=0.45)[0]
+        assert len(per_class) == 2  # different classes never suppress
+        agnostic = non_max_suppression(
+            pred, conf_thres=0.1, iou_thres=0.45, agnostic=True
+        )[0]
+        assert len(agnostic) == 1 and agnostic[0, 5] == 0  # higher score wins
+
+    def test_nms_confidence_is_obj_times_cls(self):
+        from xmir_tpu.chestmir import non_max_suppression
+
+        pred = np.array([[
+            [50, 50, 20, 20, 0.5, 0.9, 0.1],   # conf 0.45
+            [120, 120, 20, 20, 0.05, 0.9, 0.1],  # obj below gate
+        ]], np.float32)
+        out = non_max_suppression(pred, conf_thres=0.46)[0]
+        assert len(out) == 0
+        out = non_max_suppression(pred, conf_thres=0.4)[0]
+        assert len(out) == 1
+        assert out[0, 4] == pytest.approx(0.45, abs=1e-6)
+        np.testing.assert_allclose(out[0, :4], [40, 40, 60, 60], atol=1e-5)
+
+    def test_nms_max_det(self):
+        from xmir_tpu.chestmir import non_max_suppression
+
+        rows = [[10 + 40 * i, 10, 8, 8, 0.9, 1.0] for i in range(10)]
+        out = non_max_suppression(
+            np.asarray([rows], np.float32), conf_thres=0.1, max_det=4
+        )[0]
+        assert len(out) == 4
+
+    def test_scale_coords_roundtrip(self):
+        from xmir_tpu.chestmir import scale_coords
+        from xmir_tpu.chestmir.wbf import letterbox_params
+
+        h, w = 200, 300
+        r, px, py, _, _ = letterbox_params(h, w, 640)
+        orig = np.array([[60.0, 50.0, 140.0, 120.0]])
+        lb = orig.copy()
+        lb[:, [0, 2]] = lb[:, [0, 2]] * r + px
+        lb[:, [1, 3]] = lb[:, [1, 3]] * r + py
+        back = scale_coords(lb, (h, w), r, (px, py))
+        np.testing.assert_allclose(back, orig, atol=1e-9)
+
+    def test_predict_image_end_to_end_raw_detector(self):
+        """A content-aware fixture detector emits raw YOLO rows for the
+        bright rectangle it sees; over 2 folds x 8 TTA the decoded, reversed
+        and WBF-fused result must localize the original rectangle."""
+        from xmir_tpu.chestmir import predict_image
+
+        h, w = 200, 300
+        rect = (60, 50, 140, 120)  # x1 y1 x2 y2
+        image = np.zeros((h, w, 3), np.uint8)
+        image[rect[1]:rect[3], rect[0]:rect[2]] = 255
+
+        def detector(input_tensor):
+            img = input_tensor[0].transpose(1, 2, 0) * 255.0
+            m = img[..., 0] > 200
+            ys, xs = np.nonzero(m)
+            n_cls = 3
+            if len(xs) == 0:
+                return np.zeros((1, 1, 5 + n_cls), np.float32)
+            x1, x2 = xs.min(), xs.max() + 1
+            y1, y2 = ys.min(), ys.max() + 1
+            row = [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1, 0.9,
+                   0.01, 0.99, 0.01]
+            return np.asarray([[row]], np.float32)
+
+        res = predict_image(
+            image, [detector, detector], tta=range(8), img_size=128,
+            score_thres=0.1, class_names=["a", "b", "c"],
+        )
+        dets = res["detections"]
+        assert len(dets) == 1
+        d = dets[0]
+        assert d["class_id"] == 1 and d["class_name"] == "b"
+        assert d["confidence"] == pytest.approx(0.9 * 0.99, abs=0.01)
+        got = (d["x1"], d["y1"], d["x2"], d["y2"])
+        for g, e in zip(got, rect):
+            assert abs(g - e) <= 4, (got, rect)
+
+    def test_detections_with_tta_folds_raw_path(self):
+        from xmir_tpu.chestmir import detections_with_tta_folds
+
+        image = np.zeros((100, 100, 3), np.uint8)
+        image[30:60, 20:70] = 255
+
+        def detector(input_tensor):
+            img = input_tensor[0].transpose(1, 2, 0) * 255.0
+            ys, xs = np.nonzero(img[..., 0] > 200)
+            if len(xs) == 0:
+                return np.zeros((1, 1, 7), np.float32)
+            x1, x2, y1, y2 = xs.min(), xs.max() + 1, ys.min(), ys.max() + 1
+            return np.asarray(
+                [[[(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1, 0.9, 0.9, 0.1]]],
+                np.float32,
+            )
+
+        dets = detections_with_tta_folds(
+            image, [detector], raw_outputs=True, tta=(0, 1, 4),
+            img_size=64, class_names=["x", "y"],
+        )
+        assert len(dets) == 1 and dets[0]["class_name"] == "x"
+        assert abs(dets[0]["x1"] - 20) <= 4 and abs(dets[0]["y2"] - 60) <= 4

@@ -12,6 +12,17 @@ from .wbf import (
     weighted_boxes_fusion,
     xywh2xyxy,
 )
+from .inference import (
+    bbox_rot90,
+    flip_hor_boxes,
+    get_tta_pair,
+    merge_predictions,
+    non_max_suppression,
+    predict_image,
+    run_detector,
+    run_single_tta,
+    scale_coords,
+)
 from .region import crop_box, detections_with_tta_folds, embed_regions
 from .two_stage import (
     build_lesion_map,

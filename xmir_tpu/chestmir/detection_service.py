@@ -57,8 +57,11 @@ def draw_detections(image: np.ndarray, detections: Sequence[dict]) -> np.ndarray
 class DiseaseDetectionService:
     """analyze_image(bytes) -> (normalized detections, overlay JPEG bytes)."""
 
-    def __init__(self, detector_fns: Sequence[Callable]):
+    def __init__(self, detector_fns: Sequence[Callable],
+                 raw_outputs: bool = False, tta: Sequence[int] = (0, 4)):
         self.detector_fns = list(detector_fns)
+        self.raw_outputs = raw_outputs
+        self.tta = tuple(tta)
 
     def analyze_image(
         self,
@@ -75,7 +78,8 @@ class DiseaseDetectionService:
         )
         detections = detections_with_tta_folds(
             image, self.detector_fns, img_size=img_size, wbf_iou=wbf_iou,
-            score_thres=score_thres,
+            score_thres=score_thres, raw_outputs=self.raw_outputs,
+            tta=self.tta,
         )
         normalized = [self._normalize(d) for d in detections]
         rendered = draw_detections(image, detections)

@@ -74,12 +74,30 @@ def detections_with_tta_folds(
     wbf_iou: float = 0.25,
     score_thres: float = 0.1,
     class_names: Sequence[str] | None = None,
+    raw_outputs: bool = False,
+    tta: Sequence[int] = (0, 4),
 ):
-    """5-fold x {identity, hflip} TTA detection fused by WBF
-    (reference inference.py:437-492). Each detector_fn maps a letterboxed
-    (S, S, 3) uint8 image to (boxes xyxy in letterbox coords, scores, labels).
-    Returns detection dicts in ORIGINAL image coordinates.
+    """Fold x TTA detection fused by WBF (reference inference.py:437-492).
+
+    raw_outputs=True: each detector_fn maps a letterboxed (1, 3, S, S)
+    float32 RGB tensor to raw YOLO head output (1, N, 5+C); the full decode
+    (conf gate, class-offset NMS, coordinate unscaling) plus any of the 8
+    rot/flip TTA variants run through chestmir.inference — this is the path
+    a converted detector checkpoint drives.
+
+    raw_outputs=False (legacy): each detector_fn maps a letterboxed
+    (S, S, 3) uint8 image to pre-decoded (boxes xyxy in letterbox coords,
+    scores, labels); only identity+hflip TTA.
+
+    Returns detection dicts in ORIGINAL image coordinates either way.
     """
+    if raw_outputs:
+        from .inference import predict_image
+
+        return predict_image(
+            image, detector_fns, tta=tta, img_size=img_size,
+            wbf_iou=wbf_iou, score_thres=score_thres, class_names=class_names,
+        )["detections"]
     from .lesions import VINDR_DETECTOR_CLASSES
     from .wbf import hflip_boxes, letterbox_image, scale_boxes_back, weighted_boxes_fusion
 

@@ -27,6 +27,12 @@ def main(argv=None):
                    help="JSON {image_basename: [det dicts with class_name/x1..y2]}")
     p.add_argument("--detector-plugin", default="",
                    help="Python module with build_detectors() for live detection")
+    p.add_argument("--raw-detector-outputs", action="store_true",
+                   help="detector fns return raw YOLO head tensors; decode "
+                        "via chestmir.inference (conf gate, class-offset "
+                        "NMS, coordinate unscaling)")
+    p.add_argument("--tta", default="0,4",
+                   help="comma-separated TTA variant ids in 0..7")
     p.add_argument("--batch-size", default=32, type=int)
     p.add_argument("--region-batch-size", default=16, type=int)
     p.add_argument("--score-thres", default=0.1, type=float)
@@ -66,6 +72,8 @@ def main(argv=None):
             img = dataset.load_image(i)
             dets = detections_with_tta_folds(
                 img, detector_fns, wbf_iou=args.wbf_iou,
+                raw_outputs=args.raw_detector_outputs,
+                tta=tuple(int(t) for t in args.tta.split(",")),
                 score_thres=args.score_thres,
             )
         else:
