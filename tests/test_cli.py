@@ -267,3 +267,22 @@ class TestTextCLIs:
             "--max-concepts", "2", "--vocab-size", "64", "--vocab", vocab,
             "--save", str(tmp_path / "cc.msgpack"),
         ])
+
+
+class TestConceptXAICLI:
+    def test_smoke_synthetic(self, tmp_path):
+        from xmir_tpu.cli import xai_conceptclip
+
+        results = xai_conceptclip.main([
+            "--dataset", "synthetic", "--image-size", "28", "--dim", "32",
+            "--depth", "2", "--text-depth", "2", "--seq-len", "16",
+            "--vocab-size", "64", "--batch-size", "8", "--num-images", "12",
+            "--top-k", "3", "--num-query-samples", "2",
+            "--out-dir", str(tmp_path),
+        ])
+        assert len(results) == 2
+        r = results[0]
+        assert len(r["retrieved"]) == 3
+        assert len(r["query_top_concepts"]) == 5
+        files = list(tmp_path.glob("*_explanation.json"))
+        assert len(files) == 2

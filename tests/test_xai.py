@@ -349,3 +349,84 @@ class TestBatchedCausal:
             )
             assert batch[p][0] == pytest.approx(a_single, abs=1e-5)
             assert batch[p][1] == z_single
+
+
+class TestConceptXAI:
+    """Patch-concept explanations (reference xai_conceptclip.py:151-353)."""
+
+    def _embeds(self, rng):
+        # 4 orthogonal concepts, 8 patches: patches 0-3 aligned to concept 2
+        concepts = np.eye(4, 16, dtype=np.float32)
+        patches = rng.standard_normal((8, 16)).astype(np.float32) * 0.05
+        patches[:4] += concepts[2] * 2.0
+        patches[6] += concepts[0] * 1.2
+        return patches, concepts
+
+    def test_attention_and_topk(self, rng):
+        from xmir_tpu.xai.conceptxai import patch_concept_attention
+
+        patches, concepts = self._embeds(rng)
+        att, top, scores = patch_concept_attention(patches, concepts, top_k=2)
+        assert att.shape == (8, 4)
+        assert top[0] == 2 and top[1] == 0
+        assert scores[0] > scores[1] > 0.5
+        # cosine attention: normalized inputs -> bounded scores
+        assert np.all(att <= 1.0 + 1e-6)
+
+    def test_batched_attention_matches_loop(self, rng):
+        from xmir_tpu.xai.conceptxai import patch_concept_attention
+
+        batch = rng.standard_normal((3, 8, 16)).astype(np.float32)
+        concepts = rng.standard_normal((5, 16)).astype(np.float32)
+        att_b, top_b, sc_b = patch_concept_attention(batch, concepts, top_k=3)
+        for i in range(3):
+            att_i, top_i, sc_i = patch_concept_attention(batch[i], concepts, 3)
+            np.testing.assert_allclose(att_b[i], att_i, rtol=1e-6)
+            np.testing.assert_array_equal(top_b[i], top_i)
+
+    def test_grid_detection(self):
+        from xmir_tpu.xai.conceptxai import detect_patch_grid
+
+        assert detect_patch_grid(16) == (4, 4)
+        assert detect_patch_grid(12) == (3, 4)
+        assert detect_patch_grid(8) == (2, 4)
+        assert detect_patch_grid(729) == (27, 27)
+
+    def test_heatmap_peak_localization(self):
+        from xmir_tpu.xai.conceptxai import attention_heatmap
+
+        v = np.zeros(16, np.float32)
+        v[5] = 1.0  # grid (4,4): row 1, col 1
+        hm = attention_heatmap(v, image_size=64)
+        assert hm.shape == (64, 64)
+        y, x = np.unravel_index(hm.argmax(), hm.shape)
+        assert 16 <= y < 32 and 16 <= x < 32
+
+    def test_explain_and_text(self, rng):
+        from xmir_tpu.xai.conceptxai import explain_retrieval, text_explanation
+
+        patches, concepts = self._embeds(rng)
+        retrieved = np.stack([patches, rng.standard_normal((8, 16)).astype(np.float32)])
+        names = ["aort", "atel", "calc", "cardio"]
+        exp = explain_retrieval(
+            patches, retrieved, concepts, names, [0.9, 0.3],
+            ["r0", "r1"], query_id="q", top_k_concepts=2,
+        )
+        assert exp["query_top_concepts"][0]["name"] == "calc"
+        assert "calc" in exp["retrieved"][0]["shared_findings"]
+        assert exp["retrieved"][0]["similarity"] == 0.9
+        report = text_explanation(exp)
+        assert "q" in report and "calc" in report and "0.9000" in report
+
+    def test_render_writes_png(self, rng, tmp_path):
+        from xmir_tpu.xai.conceptxai import explain_retrieval, render_retrieval_explanation
+
+        patches, concepts = self._embeds(rng)
+        exp = explain_retrieval(
+            patches, patches[None], concepts, ["a", "b", "c", "d"], [0.5],
+            ["r0"], top_k_concepts=2,
+        )
+        img = (rng.random((32, 32)) * 255).astype(np.uint8)
+        out = render_retrieval_explanation(exp, img, [img], str(tmp_path / "x.png"))
+        import os
+        assert os.path.getsize(out) > 1000

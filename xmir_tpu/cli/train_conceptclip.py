@@ -84,36 +84,12 @@ def main(argv=None):
 
     from ..models.embedders import ConceptCLIPModel
 
-    # registry conceptclip uses full SO400M/BERT sizes; allow overrides for
-    # smoke runs through the flags above
-    import flax.linen as nn
-
-    from ..models.bert import BertTextBackbone
-    from ..models.siglip import SiglipVisionBackbone
-
-    class _ConceptCLIP(ConceptCLIPModel):
-        def setup(self):
-            self.visual = SiglipVisionBackbone(
-                img_size=args.image_size, patch_size=14, dim=args.dim,
-                depth=args.depth, num_heads=16,
-                intermediate=max(4 * args.dim, 64), name="visual",
-            )
-            text_dim = 768 if args.dim == 1152 else args.dim
-            text_heads = next(h for h in (12, 8, 4, 2, 1) if text_dim % h == 0)
-            self.text = BertTextBackbone(
-                vocab_size=args.vocab_size, dim=text_dim,
-                depth=args.text_depth, num_heads=text_heads,
-                intermediate=4 * text_dim, name="text",
-            )
-            self.text_projection = nn.Dense(args.dim, name="text_projection")
-            self.logit_scale = self.param(
-                "logit_scale", nn.initializers.constant(jnp.log(10.0)), ()
-            )
-            self.logit_bias = self.param(
-                "logit_bias", nn.initializers.constant(-10.0), ()
-            )
-
-    model = _ConceptCLIP()
+    # registry conceptclip uses full SO400M/BERT sizes by default; the flags
+    # above allow smaller configs for smoke runs
+    model = ConceptCLIPModel(
+        img_size=args.image_size, dim=args.dim, depth=args.depth,
+        text_depth=args.text_depth, text_vocab=args.vocab_size,
+    )
     s = args.image_size
     pix0 = jnp.zeros((2, s, s, 3), jnp.float32)
     ids0 = jnp.zeros((2, args.seq_len), jnp.int32)

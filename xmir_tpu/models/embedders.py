@@ -264,14 +264,26 @@ class ConceptCLIPModel(nn.Module):
 
     embedding_dim: Optional[int] = None
     img_size: int = 384
+    dim: int = 1152          # SO400M vision width
+    depth: int = 27
+    text_depth: int = 12
+    text_vocab: int = 30522  # PubMedBERT vocab
 
     def setup(self):
+        num_heads = next(h for h in (16, 8, 4, 2, 1) if self.dim % h == 0)
         self.visual = SiglipVisionBackbone(
-            img_size=self.img_size, patch_size=14, dim=1152, depth=27,
-            num_heads=16, intermediate=4304, name="visual",
+            img_size=self.img_size, patch_size=14, dim=self.dim,
+            depth=self.depth, num_heads=num_heads,
+            intermediate=4304 if self.dim == 1152 else max(4 * self.dim, 64),
+            name="visual",
         )
-        self.text = BertTextBackbone(name="text")
-        self.text_projection = nn.Dense(1152, name="text_projection")
+        text_dim = 768 if self.dim == 1152 else self.dim
+        text_heads = next(h for h in (12, 8, 4, 2, 1) if text_dim % h == 0)
+        self.text = BertTextBackbone(
+            vocab_size=self.text_vocab, dim=text_dim, depth=self.text_depth,
+            num_heads=text_heads, intermediate=4 * text_dim, name="text",
+        )
+        self.text_projection = nn.Dense(self.dim, name="text_projection")
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(jnp.log(10.0)), ()
         )
