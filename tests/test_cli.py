@@ -286,3 +286,31 @@ class TestConceptXAICLI:
         assert len(r["query_top_concepts"]) == 5
         files = list(tmp_path.glob("*_explanation.json"))
         assert len(files) == 2
+
+
+class TestEvaluateSaliencyCLI:
+    """Inline explainers in the ins/del driver (reference
+    evaluate_test_dataset_milvus.py:368-426 selects any explainer inline)."""
+
+    @pytest.mark.parametrize("explainer,extra", [
+        ("sbsm", ["--window-size", "24", "--stride", "16"]),
+        ("simatt", []),
+        ("simcam", []),
+    ])
+    def test_inline_explainers(self, tmp_path, explainer, extra):
+        from xmir_tpu.cli import evaluate_saliency
+
+        out = str(tmp_path / f"{explainer}.json")
+        evaluate_saliency.main([
+            "--dataset", "synthetic", "--model", "tiny",
+            "--embedding-dim", "16", "--explainer", explainer,
+            "--top-k", "2", "--limit", "2", "--step", "2000",
+            "--save-every", "1", "--output", out,
+        ] + extra)
+        res = json.load(open(out))
+        assert len(res["results"]) == 2
+        r = res["results"][0]
+        assert 0.0 <= r["deletion_auc"] <= 1.0
+        assert 0.0 <= r["insertion_auc"] <= 1.0
+        assert len(r["per_pair_del"]) == 2
+        assert "mean_deletion_auc" in res["summary"]

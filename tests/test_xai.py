@@ -430,3 +430,72 @@ class TestConceptXAI:
         out = render_retrieval_explanation(exp, img, [img], str(tmp_path / "x.png"))
         import os
         assert os.path.getsize(out) > 1000
+
+
+class TestGradCAMSimilarity:
+    """Grad-CAM of cosine similarity on ViT tokens
+    (reference medsiglip_saliency.py:51-131), via the token_delta tap."""
+
+    def _tiny_vit(self):
+        import flax.linen as nn
+        from xmir_tpu.models.siglip import SiglipVisionBackbone
+        from xmir_tpu.losses.metric_losses import l2_normalize
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False, token_delta=None):
+                out = SiglipVisionBackbone(
+                    img_size=28, patch_size=14, dim=32, depth=2, num_heads=4,
+                    intermediate=64, name="backbone",
+                )(x, train, token_delta=token_delta)
+                emb = nn.Dense(16, name="proj")(out["pooled"])
+                return {"embedding": l2_normalize(emb, axis=1),
+                        "encoder_tokens": out["encoder_tokens"]}
+
+        return M()
+
+    def test_token_delta_zero_is_identity(self, rng):
+        import jax
+        model = self._tiny_vit()
+        x = jnp.asarray(rng.standard_normal((2, 28, 28, 3)), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x)
+        base = model.apply(v, x)["embedding"]
+        tok = model.apply(v, x)["encoder_tokens"]
+        tapped = model.apply(v, x, token_delta=jnp.zeros_like(tok))["embedding"]
+        np.testing.assert_allclose(np.asarray(base), np.asarray(tapped), atol=1e-6)
+
+    def test_gradcam_shape_range_and_signal(self, rng):
+        import jax
+        from xmir_tpu.xai import make_vit_gradcam_fn, vit_gradcam_similarity
+
+        model = self._tiny_vit()
+        x = jnp.asarray(rng.standard_normal((3, 28, 28, 3)), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x)
+        q_emb = model.apply(v, x[:1])["embedding"][0]
+        maps = vit_gradcam_similarity(
+            make_vit_gradcam_fn(model), v, q_emb, x, out_hw=(28, 28)
+        )
+        maps = np.asarray(maps)
+        assert maps.shape == (3, 28, 28)
+        assert maps.min() >= 0.0 and maps.max() <= 1.0 + 1e-6
+        assert maps.max() > 0.0  # gradient actually flowed through the tap
+
+    def test_gradient_matches_finite_difference(self, rng):
+        """The tap gradient must equal d(sim)/d(last-layer tokens)."""
+        import jax
+        model = self._tiny_vit()
+        x = jnp.asarray(rng.standard_normal((1, 28, 28, 3)), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x)
+        q = model.apply(v, x)["embedding"][0]
+        tok = model.apply(v, x)["encoder_tokens"]
+
+        def sim(delta):
+            out = model.apply(v, x, token_delta=delta)
+            return jnp.sum(out["embedding"][0] * q)
+
+        g = jax.grad(sim)(jnp.zeros_like(tok))
+        eps = 1e-3
+        d = np.zeros(np.asarray(tok).shape, np.float32)
+        d[0, 2, 5] = eps
+        fd = (float(sim(jnp.asarray(d))) - float(sim(jnp.asarray(-d)))) / (2 * eps)
+        assert fd == pytest.approx(float(np.asarray(g)[0, 2, 5]), abs=1e-3)

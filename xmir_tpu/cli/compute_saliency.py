@@ -21,7 +21,8 @@ def main(argv=None):
     add_dataset_args(p)
     add_model_args(p)
     p.add_argument("--explainer", default="sbsm",
-                   choices=["sbsm", "simatt", "simcam", "rollout"])
+                   choices=["sbsm", "simatt", "simcam", "rollout",
+                            "gradcam_sim"])
     p.add_argument("--split", default="test", choices=["train", "val", "test"])
     p.add_argument("--window-size", default=24, type=int)
     p.add_argument("--stride", default=5, type=int)
@@ -130,6 +131,36 @@ def main(argv=None):
             np.save(os.path.join(args.save_dir, f"simcam_q{qi:05d}.npy"),
                     np.asarray(maps))
         print(f">> saved SimCAM maps for {n_q} pairs to {args.save_dir}")
+        return
+
+    if args.explainer == "gradcam_sim":
+        # Grad-CAM of cosine(query, retrieved) on ViT tokens
+        # (reference medsiglip_saliency.py:51-131)
+        from ..xai import make_vit_gradcam_fn, vit_gradcam_similarity
+
+        apply_fn = make_vit_gradcam_fn(model)
+        data = np.load(args.results, allow_pickle=True) if args.results else None
+        n_q = args.limit or min(len(dataset), 16)
+        for qi in range(n_q):
+            q_img = prep(dataset.load_image(qi)[None])
+            if data is not None:
+                ranks = np.argsort(-data["dists"][qi], kind="stable")[: args.top_k]
+            else:
+                ranks = np.asarray([(qi + 1) % len(dataset)])
+            r_imgs = prep(np.stack([dataset.load_image(int(r)) for r in ranks]))
+            q_emb = embed(variables, q_img)[0]
+            maps = vit_gradcam_similarity(
+                apply_fn, variables, q_emb, r_imgs, out_hw=(size, size)
+            )
+            for j, r in enumerate(ranks):
+                np.save(
+                    os.path.join(
+                        args.save_dir, f"gradcam_q{qi:05d}_r{int(r):05d}.npy"
+                    ),
+                    np.asarray(maps[j]),
+                )
+        print(f">> saved grad-CAM similarity maps for {n_q} queries to "
+              f"{args.save_dir}")
         return
 
     if args.explainer == "rollout":

@@ -25,7 +25,14 @@ def main(argv=None):
     p.add_argument("--split", default="test", choices=["train", "val", "test"])
     p.add_argument("--saliency-dir", default="",
                    help="Precomputed maps (sal_q{q}_r{r}.npy); computed on the fly when empty")
-    p.add_argument("--explainer", default="sbsm", choices=["sbsm"])
+    p.add_argument(
+        "--explainer", default="sbsm",
+        choices=["sbsm", "simatt", "simcam", "rollout", "gradcam_sim"],
+        help="Inline saliency (reference evaluate_test_dataset_milvus.py:"
+             "368-426 selects any explainer inline). simatt/simcam need a "
+             "conv backbone exposing 'features'; rollout/gradcam_sim need a "
+             "ViT exposing attentions/token taps (medsiglip).",
+    )
     p.add_argument("--window-size", default=24, type=int)
     p.add_argument("--stride", default=5, type=int)
     p.add_argument("--gpu-batch", default=128, type=int)
@@ -70,9 +77,60 @@ def main(argv=None):
     )
     topk_ids = np.asarray(topk_ids)
 
-    masks = jnp.asarray(generate_masks(size, args.window_size, args.stride))
     blur = blur_substrate()
     n_q = min(args.limit or len(dataset), len(dataset))
+
+    # inline per-pair saliency provider: (q_img (1,H,W,C), r_imgs (P,H,W,C))
+    # -> list of P (H, W) maps over the retrieved images
+    if args.explainer == "sbsm":
+        masks = jnp.asarray(generate_masks(size, args.window_size, args.stride))
+
+        def pair_saliency(q_img, r_imgs):
+            sal = sbsm_pair_saliency(
+                embed, variables, q_img, r_imgs, masks, chunk=args.gpu_batch
+            )
+            return [np.asarray(sal[0, j]) for j in range(r_imgs.shape[0])]
+    elif args.explainer == "simatt":
+        from ..xai import get_feature_head, simatt_saliency
+
+        head_fn = get_feature_head(args.model, variables["params"])
+
+        def features_fn(xs):
+            return model.apply(variables, xs)["features"]
+
+        def pair_saliency(q_img, r_imgs):
+            stack = jnp.concatenate([q_img, r_imgs], axis=0)
+            maps = simatt_saliency(features_fn, head_fn, stack, n_pos=1)
+            return [np.asarray(m) for m in maps[1:]]
+    elif args.explainer == "simcam":
+        from ..xai import simcam_maps
+
+        def pair_saliency(q_img, r_imgs):
+            q_feats = model.apply(variables, q_img)["features"][0]
+            r_feats = model.apply(variables, r_imgs)["features"]
+            maps = simcam_maps(q_feats, r_feats, out_hw=(size, size))
+            # index 1 = retrieval-side map (the perturbed image)
+            return [np.asarray(maps[j, 1]) for j in range(r_imgs.shape[0])]
+    elif args.explainer == "rollout":
+        from ..xai import rollout_saliency
+
+        def pair_saliency(q_img, r_imgs):
+            out = model.apply(
+                variables, r_imgs, train=False, output_attentions=True
+            )
+            sal = rollout_saliency(out["attentions"], (size, size))
+            return [np.asarray(sal[j]) for j in range(r_imgs.shape[0])]
+    else:  # gradcam_sim
+        from ..xai import make_vit_gradcam_fn, vit_gradcam_similarity
+
+        apply_fn = make_vit_gradcam_fn(model)
+
+        def pair_saliency(q_img, r_imgs):
+            q_emb = embed(variables, q_img)[0]
+            maps = vit_gradcam_similarity(
+                apply_fn, variables, q_emb, r_imgs, out_hw=(size, size)
+            )
+            return [np.asarray(maps[j]) for j in range(r_imgs.shape[0])]
 
     results = []
     done = set()
@@ -94,10 +152,7 @@ def main(argv=None):
                 for r in topk_ids[qi]
             ]
         else:
-            sal = sbsm_pair_saliency(
-                embed, variables, q_img, r_imgs, masks, chunk=args.gpu_batch
-            )
-            sals = [np.asarray(sal[0, j]) for j in range(len(topk_ids[qi]))]
+            sals = pair_saliency(q_img, r_imgs)
 
         # batched across the top-k pairs (one forward embeds all pairs'
         # images for a chunk of steps)

@@ -175,15 +175,17 @@ class MedSigLIPEmbedder(nn.Module):
     embed_dim: int = 512
 
     @nn.compact
-    def __call__(self, x, train: bool = False, output_attentions: bool = False):
+    def __call__(self, x, train: bool = False, output_attentions: bool = False,
+                 token_delta=None):
         out = SiglipVisionBackbone(
             img_size=448, patch_size=14, dim=1152, depth=27, num_heads=16,
             intermediate=4304, name="backbone",
-        )(x, train, output_attentions)
+        )(x, train, output_attentions, token_delta=token_delta)
         emb = MedSigLIPProjection(self.embed_dim, name="projection")(out["pooled"])
         return {
             "embedding": l2_normalize(emb, axis=1),
             "tokens": out["tokens"],
+            "encoder_tokens": out["encoder_tokens"],
             "attentions": out["attentions"],
         }
 

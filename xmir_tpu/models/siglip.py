@@ -122,7 +122,8 @@ class SiglipVisionBackbone(nn.Module):
     use_head: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False, output_attentions: bool = False):
+    def __call__(self, x, train: bool = False, output_attentions: bool = False,
+                 token_delta=None):
         b = x.shape[0]
         x = nn.Conv(
             self.dim,
@@ -155,13 +156,20 @@ class SiglipVisionBackbone(nn.Module):
             )(x, output_attentions)
             if output_attentions:
                 attentions.append(attn)
+        # grad-CAM tap: d(score)/d(token_delta) equals the gradient at the
+        # last encoder layer's output (the reference hooks this layer,
+        # medsiglip_saliency.py:70-98); zeros leave the forward unchanged
+        if token_delta is not None:
+            x = x + token_delta
+        encoder_tokens = x
         tokens = nn.LayerNorm(epsilon=1e-6, name="post_layernorm")(x)
         pooled = None
         if self.use_head:
             pooled = SiglipPoolingHead(
                 self.dim, self.num_heads, self.intermediate, name="head"
             )(tokens)
-        return {"pooled": pooled, "tokens": tokens, "attentions": attentions}
+        return {"pooled": pooled, "tokens": tokens,
+                "encoder_tokens": encoder_tokens, "attentions": attentions}
 
 
 def medsiglip_448_vision() -> SiglipVisionBackbone:

@@ -26,3 +26,11 @@ from .variants import (
     transform_query,
 )
 from .causal import causal_scores_batch, run_causal_metric_pairs
+from .gradcam_sim import make_vit_gradcam_fn, vit_gradcam_similarity
+from .conceptxai import (
+    attention_heatmap,
+    detect_patch_grid,
+    explain_retrieval,
+    patch_concept_attention,
+    text_explanation,
+)

@@ -57,6 +57,9 @@ FEATURE_HEADS = {
     "densenet121": lambda params: lambda feats: densenet_head(params, feats),
     "resnet50": lambda params: lambda feats: resnet_head(params, feats),
     "convnextv2": lambda params: lambda feats: convnext_head(params, feats),
+    # TinyEmbedder tail is GAP -> fc -> normalize on post-ReLU features,
+    # identical to the ResNet tail
+    "tiny": lambda params: lambda feats: resnet_head(params, feats),
 }
 
 
