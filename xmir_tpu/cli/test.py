@@ -18,16 +18,16 @@ import numpy as np
 from .common import add_dataset_args, add_model_args, build_dataset, build_model, is_multilabel, jitted_embed
 
 
-def evaluate_single_label(embeds: np.ndarray, labels: np.ndarray, save_dir=None):
+def single_label_metrics(dists: np.ndarray, labels: np.ndarray) -> dict:
+    """Full single-label metric suite from a (N, N) similarity matrix
+    (negative L2, diagonal -inf) — shared by the eval CLI and the parity
+    harness so both run the identical code path."""
     from ..metrics import (
         compute_classification_metrics,
         compute_map,
-        fill_diagonal_neg_inf,
-        pairwise_neg_l2,
         retrieval_recall_at_k,
     )
 
-    dists = np.asarray(fill_diagonal_neg_inf(pairwise_neg_l2(jnp.asarray(embeds))))
     topk = (1, 5, 10)
     recalls = retrieval_recall_at_k(dists, labels, topk)
     ranks = np.argsort(-dists, axis=1, kind="stable").T  # (db, nq)
@@ -35,12 +35,20 @@ def evaluate_single_label(embeds: np.ndarray, labels: np.ndarray, save_dir=None)
     mAP, aps, pr, _ = compute_map(ranks, labels, kappas)
     cls = compute_classification_metrics(labels, dists)
 
-    metrics = {
+    return {
         **{f"R@{k}": r for k, r in zip(topk, recalls)},
         "mAP": mAP * 100.0,
         **{f"mP@{k}": p * 100.0 for k, p in zip(kappas, pr)},
         "classification": cls,
     }
+
+
+def evaluate_single_label(embeds: np.ndarray, labels: np.ndarray, save_dir=None):
+    from ..metrics import fill_diagonal_neg_inf, pairwise_neg_l2
+
+    dists = np.asarray(fill_diagonal_neg_inf(pairwise_neg_l2(jnp.asarray(embeds))))
+    metrics = single_label_metrics(dists, labels)
+    cls = metrics["classification"]
     print(f">> R@1 {metrics['R@1']:.2f}  R@5 {metrics['R@5']:.2f}  "
           f"R@10 {metrics['R@10']:.2f}")
     print(f">> mAP {metrics['mAP']:.2f}  mP@1 {metrics['mP@1']:.2f}  "
@@ -59,24 +67,32 @@ def evaluate_single_label(embeds: np.ndarray, labels: np.ndarray, save_dir=None)
     return metrics
 
 
-def evaluate_multilabel(embeds: np.ndarray, labels: np.ndarray, save_dir=None):
-    from ..metrics import (
-        compute_map_multilabel,
-        fill_diagonal_neg_inf,
-        multilabel_precision_recall_at_k,
-        pairwise_cosine,
-    )
+def multilabel_metrics(sims: np.ndarray, labels: np.ndarray) -> dict:
+    """Jaccard-threshold multilabel suite from a (N, N) cosine matrix with
+    diagonal -inf — shared with the parity harness."""
+    from ..metrics import compute_map_multilabel, multilabel_precision_recall_at_k
 
-    sims = np.asarray(fill_diagonal_neg_inf(pairwise_cosine(jnp.asarray(embeds))))
     metrics = {}
     for t in (0.25, 0.5):
         metrics[f"mAP@jaccard>{t}"] = compute_map_multilabel(sims, labels, t) * 100.0
-        print(f">> mAP (Jaccard > {t}): {metrics[f'mAP@jaccard>{t}']:.2f}%")
     pr = multilabel_precision_recall_at_k(sims, labels)
     for k, v in pr.items():
         metrics[f"P@{k}"] = v["precision"]
         metrics[f"R@{k}"] = v["recall"]
-        print(f"K={k:<3} P@K {v['precision']:.2f}%  R@K {v['recall']:.2f}%")
+    return metrics
+
+
+def evaluate_multilabel(embeds: np.ndarray, labels: np.ndarray, save_dir=None):
+    from ..metrics import fill_diagonal_neg_inf, pairwise_cosine
+
+    sims = np.asarray(fill_diagonal_neg_inf(pairwise_cosine(jnp.asarray(embeds))))
+    metrics = multilabel_metrics(sims, labels)
+    for t in (0.25, 0.5):
+        print(f">> mAP (Jaccard > {t}): {metrics[f'mAP@jaccard>{t}']:.2f}%")
+    for key in metrics:
+        if key.startswith("P@"):
+            k = key[2:]
+            print(f"K={k:<3} P@K {metrics[key]:.2f}%  R@K {metrics['R@' + k]:.2f}%")
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
         np.savez(
