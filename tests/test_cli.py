@@ -314,3 +314,22 @@ class TestEvaluateSaliencyCLI:
         assert 0.0 <= r["insertion_auc"] <= 1.0
         assert len(r["per_pair_del"]) == 2
         assert "mean_deletion_auc" in res["summary"]
+
+
+class TestBiomedCLIPZeroShot:
+    def test_zeroshot_smoke(self, tmp_path):
+        """Reference test.py:237-347 path: prompt classification + cosine
+        retrieval on a random-init small BiomedCLIP tower."""
+        from xmir_tpu.cli import test as test_cli
+
+        m = test_cli.main([
+            "--dataset", "synthetic", "--model", "biomedclip",
+            "--clip-depth", "2", "--clip-dim", "32",
+            "--clip-image-size", "32", "--eval-batch-size", "16",
+            "--save-dir", str(tmp_path),
+        ])
+        assert "zero_shot_accuracy" in m and "mAP" in m
+        data = np.load(tmp_path / "biomedclip_zeroshot.npz", allow_pickle=True)
+        assert data["embeds"].shape[1] == 512
+        assert len(data["predictions"]) == 32
+        assert list(data["class_names"]) == ["class 0", "class 1", "class 2"]

@@ -134,3 +134,57 @@ class TestExportDispatch:
         p = export.save_torch_state_dict(sd, str(tmp_path / "sd.npz"))
         loaded = np.load(p)
         np.testing.assert_array_equal(loaded["a.weight"], sd["a.weight"])
+
+
+class TestBiomedCLIPConverter:
+    def test_converter_from_synthetic_openclip_sd(self, rng):
+        """Build an open_clip-layout state dict synthetically, convert, and
+        check the params load into a matching BiomedCLIPModel and the towers
+        run; projection kernels must be transposed exactly."""
+        import jax
+        from xmir_tpu.models import BiomedCLIPModel, convert_biomedclip
+
+        D, E, depth, vocab = 32, 16, 2, 50
+        model = BiomedCLIPModel(
+            embed_dim=E, img_size=32, vision_dim=D, vision_depth=depth,
+            text_dim=D, text_depth=depth, text_vocab=vocab,
+        )
+        x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        ids0 = jnp.zeros((1, 8), jnp.int32)
+        v = model.init(jax.random.PRNGKey(0), x0, ids0,
+                       method=BiomedCLIPModel.init_towers)
+
+        # synth open_clip sd from the flax init via the existing exporters
+        sd = {}
+        sd.update({
+            f"visual.trunk.{k}": val for k, val in export.export_vit_timm(
+                v["params"]["visual"], depth=depth, layerscale=False
+            ).items()
+        })
+        sd["visual.head.proj.weight"] = np.transpose(
+            np.asarray(v["params"]["visual_proj"]["kernel"])
+        )
+        sd.update({
+            f"text.transformer.{k}": val for k, val in export.export_bert(
+                v["params"]["text"], depth=depth
+            ).items()
+        })
+        sd["text.proj.0.weight"] = np.transpose(
+            np.asarray(v["params"]["text_proj1"]["kernel"]))
+        sd["text.proj.0.bias"] = np.asarray(v["params"]["text_proj1"]["bias"])
+        sd["text.proj.2.weight"] = np.transpose(
+            np.asarray(v["params"]["text_proj2"]["kernel"]))
+        sd["text.proj.2.bias"] = np.asarray(v["params"]["text_proj2"]["bias"])
+        sd["logit_scale"] = np.asarray(v["params"]["logit_scale"])
+
+        back = convert_biomedclip(sd)
+        _assert_tree_equal(v["params"], back["params"])
+
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+        out = model.apply({"params": back["params"]}, x)
+        assert out["embedding"].shape == (2, E)
+        txt = model.apply(
+            {"params": back["params"]}, ids0, None,
+            method=BiomedCLIPModel.encode_text,
+        )
+        assert txt.shape == (1, E)

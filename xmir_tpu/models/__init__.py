@@ -22,6 +22,7 @@ from .siglip import SiglipVisionBackbone, medsiglip_448_vision
 from .swin import SwinV2Backbone, swinv2_base_window12to24_192to384
 from .bert import BertTextBackbone, pubmedbert_base
 from .ath import ATHNet
+from .biomedclip import BiomedCLIPModel, convert_biomedclip
 from .siglip_text import (
     COVIDX_LABEL_TO_TEXT,
     MedSigLIPDualEncoder,

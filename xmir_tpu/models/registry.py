@@ -43,6 +43,7 @@ def _specs():
         SwinV2Embedder,
         TinyEmbedder,
     )
+    from .biomedclip import OPENAI_CLIP_MEAN, OPENAI_CLIP_STD, BiomedCLIPModel
 
     # resize/crop sizes follow reference transforms (train.py:928-993,
     # test.py:1286-1332, milvus/milvus_retrieval.py:143-200)
@@ -95,6 +96,12 @@ def _specs():
         # debug-only backbone (not in the reference): compiles in seconds,
         # for CLI smoke tests / quick experiments
         "tiny": ModelSpec("tiny", TinyEmbedder, 64, 64, 64),
+        # open_clip BiomedCLIP tower (reference test.py:1218-1240): CLIP
+        # normalization, 224px
+        "biomedclip": ModelSpec(
+            "biomedclip", BiomedCLIPModel, 224, 224, 512,
+            mean=OPENAI_CLIP_MEAN, std=OPENAI_CLIP_STD,
+        ),
     }
 
 
