@@ -1,0 +1,81 @@
+"""Fused window-attention kernel parity vs the XLA einsum path
+(interpret mode on CPU; the TPU path is exercised by bench/verify runs)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from xmir_tpu.ops.window_attn_pallas import window_attention_fused
+
+
+def _xla_reference(qs, kn, v, bias):
+    """softmax(qs @ kn^T + bias) @ v with bias (NWB, H, N, N)."""
+    attn = jnp.einsum("wbhqd,wbhkd->wbhqk", qs, kn,
+                      preferred_element_type=jnp.float32)
+    attn = attn + bias[:, None]
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("wbhqk,wbhkd->wbhqd", attn.astype(v.dtype), v)
+
+
+class TestWindowAttentionFused:
+    @pytest.mark.parametrize("nwb", ["per_window", "shared"])
+    def test_matches_xla(self, rng, nwb):
+        nw, b, h, n, d = 4, 2, 3, 64, 32
+        qs = jnp.asarray(rng.standard_normal((nw, b, h, n, d)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((nw, b, h, n, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((nw, b, h, n, d)), jnp.float32)
+        nb = nw if nwb == "per_window" else 1
+        bias = jnp.asarray(rng.standard_normal((nb, h, n, n)) * 2, jnp.float32)
+        got = window_attention_fused(qs, kn, v, bias, interpret=True)
+        want = _xla_reference(qs, kn, v, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_swin_shapes(self, rng):
+        # stage-4 of swin at 384: one 12x12 window, 32 heads, hd 32
+        nw, b, h, n, d = 1, 2, 4, 144, 32
+        qs = jnp.asarray(rng.standard_normal((nw, b, h, n, d)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((nw, b, h, n, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((nw, b, h, n, d)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((1, h, n, n)), jnp.float32)
+        got = window_attention_fused(qs, kn, v, bias, interpret=True)
+        want = _xla_reference(qs, kn, v, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_bf16_inputs(self, rng):
+        nw, b, h, n, d = 2, 1, 2, 64, 32
+        mk = lambda: jnp.asarray(rng.standard_normal((nw, b, h, n, d)),
+                                 jnp.bfloat16)
+        qs, kn, v = mk(), mk(), mk()
+        bias = jnp.asarray(rng.standard_normal((nw, h, n, n)), jnp.float32)
+        got = window_attention_fused(qs, kn, v, bias, interpret=True)
+        want = _xla_reference(qs, kn, v, bias)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=0.05, atol=0.05,
+        )
+
+    def test_model_fused_matches_xla_path(self, rng, monkeypatch):
+        """Whole SwinV2 block through both attention paths (interpret on CPU
+        via the env flag + monkeypatched interpret default)."""
+        import xmir_tpu.ops.window_attn_pallas as wap
+        from xmir_tpu.models import SwinV2Backbone
+
+        m = SwinV2Backbone(embed_dim=16, depths=(1, 1), num_heads=(2, 4),
+                           window=4, pretrained_window=(4, 4))
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        base = m.apply(v, x)["pooled"]
+
+        monkeypatch.setenv("XMIR_FUSED_ATTN", "1")
+        real_fused = wap.window_attention_fused
+
+        def interp_fused(qs, kn, vv, bias, interpret=False):
+            return real_fused(qs, kn, vv, bias, interpret=True)
+
+        monkeypatch.setattr(wap, "window_attention_fused", interp_fused)
+        fused = m.apply(v, x)["pooled"]
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                                   rtol=1e-4, atol=1e-5)

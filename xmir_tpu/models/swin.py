@@ -42,6 +42,22 @@ def _rel_position_index(win: int):
 
 
 @functools.lru_cache(maxsize=64)
+def _axis_onehot(win: int):
+    """(win, win, 2*win-1) f32 one-hot: O[a, b, d] = 1 iff d == a - b + win-1.
+
+    The relative-position bias gather is block-Toeplitz per axis, so
+    expanding the (2W-1, 2W-1, H) table to (H, W², W²) factorizes into two
+    one-hot matmuls — EXACT (one 1.0 per row, no accumulation) and ~100x
+    faster on TPU than the 331k-row gather + 21MB minor-dim transpose it
+    replaces (0.86ms -> ~0.05ms per block at window 24)."""
+    a = np.arange(win)
+    d = a[:, None] - a[None, :] + win - 1  # (win, win)
+    out = np.zeros((win, win, 2 * win - 1), np.float32)
+    out[a[:, None], a[None, :], d] = 1.0
+    return out
+
+
+@functools.lru_cache(maxsize=64)
 def _shift_attn_mask(grid: int, win: int, shift: int):
     """(num_windows, W², W²) additive mask for shifted-window attention."""
     if shift == 0:
@@ -75,6 +91,7 @@ class WindowAttentionV2(nn.Module):
     num_heads: int
     window: int
     pretrained_window: int
+    num_windows: int = 1  # windows per image (for the fused-kernel layout)
 
     @nn.compact
     def __call__(self, x, mask=None, output_attentions: bool = False):
@@ -103,20 +120,52 @@ class WindowAttentionV2(nn.Module):
             (self.num_heads, 1, 1),
         )
         scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0)))
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", qn, kn, preferred_element_type=jnp.float32
-        ) * scale
 
-        # continuous position bias
-        table = jnp.asarray(_rel_coords_table(self.window, self.pretrained_window))
+        # continuous position bias: MLP on the (2W-1, 2W-1) coord table, then
+        # Toeplitz one-hot expansion straight into (H, N, N) layout (exact
+        # replacement for the reference's flat gather, see _axis_onehot)
+        win = self.window
+        table = jnp.asarray(_rel_coords_table(win, self.pretrained_window))
         h1 = nn.Dense(512, name="cpb_fc1")(table)
         h1 = nn.relu(h1)
         bias_table = nn.Dense(self.num_heads, use_bias=False, name="cpb_fc2")(h1)
-        bias_table = bias_table.reshape(-1, self.num_heads)
-        idx = jnp.asarray(_rel_position_index(self.window)).reshape(-1)
-        bias = bias_table[idx].reshape(n, n, self.num_heads)
-        bias = 16.0 * nn.sigmoid(bias)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+        t2 = 16.0 * nn.sigmoid(bias_table)  # (2W-1, 2W-1, H), sigmoid pre-expand
+        oh = jnp.asarray(_axis_onehot(win))  # (W, W, 2W-1)
+        g1 = jnp.einsum("ykd,dch->ykch", oh, t2.astype(jnp.float32))
+        bias = jnp.einsum("ykch,xlc->hyxkl", g1, oh)  # (H, Wy, Wx, Wy, Wx)
+        bias = bias.reshape(self.num_heads, n, n)
+
+        from ..ops.window_attn_pallas import (
+            fused_attention_enabled,
+            window_attention_fused,
+        )
+
+        if not output_attentions and fused_attention_enabled():
+            # fold shift masks into the bias, reorder windows leading, and
+            # run the fused VMEM-resident kernel (no (BW, H, N, N) attention
+            # tensor ever reaches HBM)
+            nw = self.num_windows
+            total = bias[None].astype(jnp.float32)  # (1, H, N, N)
+            if mask is not None:
+                total = total + mask[:, None, :, :]  # (nw, H, N, N)
+            qs = (qn * scale[None]).astype(qn.dtype)
+
+            def to_wbhnd(t):
+                t = t.reshape(bw // nw, nw, self.num_heads, n, hd)
+                return jnp.transpose(t, (1, 0, 2, 3, 4))
+
+            out = window_attention_fused(
+                to_wbhnd(qs), to_wbhnd(kn), to_wbhnd(v), total
+            )
+            # (nw, B, H, N, hd) -> (B, nw, N, H, hd) -> (BW, N, C)
+            out = jnp.transpose(out, (1, 0, 3, 2, 4)).reshape(bw, n, self.dim)
+            out = nn.Dense(self.dim, name="proj")(out)
+            return out, None
+
+        attn = jnp.einsum(
+            "bhqd,bhkd->bhqk", qn, kn, preferred_element_type=jnp.float32
+        ) * scale
+        attn = attn + bias[None]
 
         if mask is not None:
             nw = mask.shape[0]
@@ -153,7 +202,7 @@ class SwinV2Block(nn.Module):
         mask = jnp.asarray(mask_np) if mask_np is not None else None
         xw, _ = WindowAttentionV2(
             self.dim, self.num_heads, win, min(self.pretrained_window, win),
-            name="attn",
+            num_windows=(h // win) * (w // win), name="attn",
         )(xw, mask)
         x = window_reverse(xw, win, h, w)
         if shift:
