@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+
+from .activations import adaptive_gelu
 import jax.numpy as jnp
 
 
@@ -30,6 +32,35 @@ class GRN(nn.Module):
         return gamma * (x * nx) + beta + x
 
 
+class _GRNParams(nn.Module):
+    """GRN gamma/beta with the same param tree as the GRN module."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        gamma = self.param("gamma", nn.initializers.zeros, (self.dim,))
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        return gamma, beta
+
+
+class _DenseParams(nn.Module):
+    """Declares an nn.Dense-compatible {kernel, bias} param pair without
+    forcing the XLA matmul path — the fused block kernel consumes the raw
+    arrays, the fallback path applies them as x @ k + b (identical math)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class ConvNeXtV2Block(nn.Module):
     dim: int
 
@@ -43,11 +74,36 @@ class ConvNeXtV2Block(nn.Module):
             name="dwconv",
         )(x)
         h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
-        h = nn.Dense(4 * self.dim, name="pwconv1")(h)
-        h = nn.gelu(h, approximate=False)
-        h = GRN(4 * self.dim, name="grn")(h)
-        h = nn.Dense(self.dim, name="pwconv2")(h)
+
+        w1, b1 = _DenseParams(4 * self.dim, name="pwconv1")(self.dim)
+        w2, b2 = _DenseParams(self.dim, name="pwconv2")(4 * self.dim)
+        gamma, beta = _GRNParams(4 * self.dim, name="grn")()
+
+        from ..ops.convnext_block_pallas import (
+            convnext_mlp_grn_fused,
+            fused_mlp_enabled,
+        )
+
+        if fused_mlp_enabled(h.dtype):
+            b_, hh, ww, c = x.shape
+            out = convnext_mlp_grn_fused(
+                h.reshape(b_, hh * ww, c),
+                x.reshape(b_, hh * ww, c),
+                w1.astype(h.dtype), b1, w2.astype(h.dtype), b2, gamma, beta,
+            )
+            return out.reshape(b_, hh, ww, c)
+
+        h = h @ w1 + b1
+        h = adaptive_gelu(h)
+        h = _grn_apply(h, gamma, beta)
+        h = h @ w2 + b2
         return x + h
+
+
+def _grn_apply(x, gamma, beta):
+    gx = jnp.sqrt(jnp.sum(x * x, axis=(1, 2), keepdims=True) + 1e-12)
+    nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+    return gamma * (x * nx) + beta + x
 
 
 class ConvNeXtV2Backbone(nn.Module):

@@ -16,6 +16,8 @@ import math
 from typing import Sequence
 
 import flax.linen as nn
+
+from .activations import adaptive_gelu
 import jax.numpy as jnp
 import numpy as np
 
@@ -210,7 +212,7 @@ class SwinV2Block(nn.Module):
         x = shortcut + nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
 
         h2 = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(x)
-        h2 = nn.gelu(h2, approximate=False)
+        h2 = adaptive_gelu(h2)
         h2 = nn.Dense(self.dim, name="mlp_fc2")(h2)
         return x + nn.LayerNorm(epsilon=1e-5, name="norm2")(h2)
 

@@ -12,6 +12,8 @@ the attention-rollout explainer consumes (explanations.py:979-1147).
 from __future__ import annotations
 
 import flax.linen as nn
+
+from .activations import adaptive_gelu
 import jax.numpy as jnp
 
 
@@ -61,7 +63,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = adaptive_gelu(x)
         x = nn.Dense(self.dim, name="fc2")(x)
         return x
 
