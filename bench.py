@@ -140,6 +140,37 @@ def bench_search_bf16():
     return QUERY_BATCH / dt
 
 
+def bench_host_pipeline(n_files: int = 768, size: int = 256, out: int = 224):
+    """Host-side input pipeline: .npy decode -> normalize -> resize -> RGB
+    through the native C++ loader + bounded batch_iterator (the >=10k img/s
+    ingest path, SURVEY.md §7 hard parts). Returns img/s on this host."""
+    import os
+    import tempfile
+
+    from xmir_tpu.data import NIHChestXrayRetrievalDataset, batch_iterator
+
+    tmp = tempfile.mkdtemp(prefix="xmir_bench_npy_")
+    rng = np.random.default_rng(0)
+    for i in range(n_files):
+        np.save(
+            os.path.join(tmp, f"Chest_X-ray_Atelectasis_{i:05d}.npy"),
+            (rng.random((size, size)) * 1000).astype(np.float32),
+        )
+    ds = NIHChestXrayRetrievalDataset(data_dir=tmp)
+    # warm one pass (page cache), then time
+    for _ in batch_iterator(ds, 64, image_size=out, num_workers=8):
+        pass
+    t0 = time.perf_counter()
+    n = sum(
+        b[0].shape[0] for b in batch_iterator(ds, 64, image_size=out, num_workers=8)
+    )
+    dt = time.perf_counter() - t0
+    for f in os.listdir(tmp):
+        os.unlink(os.path.join(tmp, f))
+    os.rmdir(tmp)
+    return n / dt
+
+
 def main():
     n_chips = jax.device_count()
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -152,6 +183,10 @@ def main():
         ips = bench_embed()
     except Exception:
         ips = None
+    try:
+        host_ips = bench_host_pipeline()
+    except Exception:
+        host_ips = None
 
     per_chip_target = TARGET_QPS_V5E8 / 8.0 * n_chips
     result = {
@@ -163,6 +198,9 @@ def main():
             "qps_bf16_serving_mode": None if qps_bf16 is None else round(qps_bf16, 1),
             "embed_images_per_sec_densenet121_bf16": None if ips is None else round(ips, 1),
             "embed_target_per_chip": TARGET_IPS_V5E8 / 8.0 * n_chips,
+            "host_pipeline_npy_img_per_sec": (
+                None if host_ips is None else round(host_ips, 1)
+            ),
             "kernel": kernel,
             "n_chips": n_chips,
             "platform": jax.devices()[0].platform,
