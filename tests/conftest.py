@@ -25,3 +25,11 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute full-backbone compiles; deselect for iteration "
+        "with -m 'not slow' (CI of record runs everything)",
+    )

@@ -28,6 +28,7 @@ class TestEvalCLI:
 
 
 class TestIngestQueryCLI:
+    @pytest.mark.slow
     def test_ingest_then_query(self, tmp_path):
         from xmir_tpu.cli import ingest as ingest_cli
         from xmir_tpu.cli import query as query_cli

@@ -216,6 +216,7 @@ class TestSiglipTextConversion:
 
 
 class TestExportRoundTrip:
+    @pytest.mark.slow
     def test_densenet_export_import_roundtrip(self):
         """flax -> torch naming -> flax must be identity."""
         from xmir_tpu.models import DenseNet121Embedder

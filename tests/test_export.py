@@ -100,6 +100,7 @@ class TestBackboneRoundTrips:
         back = convert.convert_convnextv2_timm(sd, depths=(1, 1, 1, 1))
         _assert_tree_equal(v["params"], back["params"])
 
+    @pytest.mark.slow
     def test_swinv2(self, rng):
         from xmir_tpu.models import SwinV2Backbone
 

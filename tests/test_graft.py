@@ -4,11 +4,13 @@ import sys
 import os
 
 import numpy as np
+import pytest
 import jax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.slow
 class TestGraftEntry:
     def test_entry_compiles_and_runs(self):
         import __graft_entry__ as g

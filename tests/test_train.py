@@ -60,6 +60,7 @@ class TestEmbeddingStep:
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0] * 0.7
 
+    @pytest.mark.slow
     def test_batch_stats_update(self, rng):
         model = DenseNet121Embedder(embedding_dim=8)
         x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)

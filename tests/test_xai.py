@@ -80,6 +80,7 @@ class TestSBSM:
 
 
 class TestSimAtt:
+    @pytest.mark.slow
     def test_densenet_head_and_saliency(self):
         from xmir_tpu.models import DenseNet121Embedder
 
