@@ -79,3 +79,33 @@ class TestWindowAttentionFused:
         fused = m.apply(v, x)["pooled"]
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestPlainFlashGating:
+    """flash_attention_plain runs only where it wins (TPU, bf16, seq lengths
+    whose 128-padding is 256-divisible); numerics are checked on real TPU in
+    the verify drive (max |diff| ~2e-3 at bf16)."""
+
+    def test_disabled_on_cpu(self):
+        from xmir_tpu.ops.plain_attn import plain_flash_enabled
+
+        assert not plain_flash_enabled(jnp.bfloat16, 1024)
+
+    def test_env_force(self, monkeypatch):
+        from xmir_tpu.ops.plain_attn import plain_flash_enabled
+
+        monkeypatch.setenv("XMIR_FLASH_ATTN", "1")
+        assert plain_flash_enabled(jnp.float32, 1370)
+        monkeypatch.setenv("XMIR_FLASH_ATTN", "0")
+        assert not plain_flash_enabled(jnp.bfloat16, 1024)
+
+    def test_block_unfriendly_lengths_excluded(self, monkeypatch):
+        from xmir_tpu.ops import plain_attn
+
+        monkeypatch.setattr(
+            plain_attn.jax, "default_backend", lambda: "tpu"
+        )
+        assert plain_attn.plain_flash_enabled(jnp.bfloat16, 1024)   # 1024
+        assert plain_attn.plain_flash_enabled(jnp.bfloat16, 729)    # -> 768
+        assert not plain_attn.plain_flash_enabled(jnp.bfloat16, 1370)  # -> 1408
+        assert not plain_attn.plain_flash_enabled(jnp.float32, 1024)

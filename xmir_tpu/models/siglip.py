@@ -34,6 +34,14 @@ class SiglipAttention(nn.Module):
             return jnp.swapaxes(t.reshape(b, n, self.num_heads, hd), 1, 2)
 
         q, k, v = split(q), split(k), split(v)
+
+        from ..ops.plain_attn import flash_attention_plain, plain_flash_enabled
+
+        if not output_attentions and plain_flash_enabled(v.dtype, v.shape[2]):
+            out = flash_attention_plain(q, k, v, hd**-0.5)
+            out = jnp.swapaxes(out, 1, 2).reshape(b, n, self.dim)
+            return nn.Dense(self.dim, name="out_proj")(out), None
+
         attn = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * (hd**-0.5)

@@ -32,6 +32,14 @@ class MultiHeadAttention(nn.Module):
         q = jnp.swapaxes(q, 1, 2)  # (B, H, N, hd)
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
+
+        from ..ops.plain_attn import flash_attention_plain, plain_flash_enabled
+
+        if not output_attentions and plain_flash_enabled(v.dtype, v.shape[2]):
+            out = flash_attention_plain(q, k, v, head_dim**-0.5)
+            out = jnp.swapaxes(out, 1, 2).reshape(b, n, self.dim)
+            return nn.Dense(self.dim, name="proj")(out), None
+
         attn = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * (head_dim**-0.5)
