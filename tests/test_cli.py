@@ -315,6 +315,10 @@ class TestEvaluateSaliencyCLI:
         assert 0.0 <= r["insertion_auc"] <= 1.0
         assert len(r["per_pair_del"]) == 2
         assert "mean_deletion_auc" in res["summary"]
+        # per-class aggregation (reference AverageCounter)
+        assert res["summary"]["per_class"]
+        for v in res["summary"]["per_class"].values():
+            assert 0.0 <= v["deletion_auc"] <= 1.0 and v["n"] >= 1
 
 
 class TestBiomedCLIPZeroShot:

@@ -188,9 +188,27 @@ def main(argv=None):
     mean_ins = float(np.mean([r["insertion_auc"] for r in results]))
     print(f">> mean deletion AUC {mean_del:.4f} (good < 0.6), "
           f"mean insertion AUC {mean_ins:.4f} (good > 0.7)")
+    # per-class averages (reference AverageCounter, evaluate_saliency.py:95-116)
+    per_class: dict = {}
+    for r in results:
+        key = str(r["query_label"])
+        per_class.setdefault(key, {"del": [], "ins": []})
+        per_class[key]["del"].append(r["deletion_auc"])
+        per_class[key]["ins"].append(r["insertion_auc"])
+    per_class_avg = {
+        k: {
+            "deletion_auc": float(np.mean(v["del"])),
+            "insertion_auc": float(np.mean(v["ins"])),
+            "n": len(v["del"]),
+        }
+        for k, v in per_class.items()
+    }
+    for k, v in sorted(per_class_avg.items()):
+        print(f">> class {k}: del {v['deletion_auc']:.4f} "
+              f"ins {v['insertion_auc']:.4f} (n={v['n']})")
     _save(args.output, results, summary={
         "mean_deletion_auc": mean_del, "mean_insertion_auc": mean_ins,
-        "n_queries": len(results),
+        "n_queries": len(results), "per_class": per_class_avg,
     })
 
 
