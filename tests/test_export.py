@@ -189,3 +189,29 @@ class TestBiomedCLIPConverter:
             method=BiomedCLIPModel.encode_text,
         )
         assert txt.shape == (1, E)
+
+
+class TestSavedModelExport:
+    def test_savedmodel_matches_flax(self, rng, tmp_path):
+        """jax2tf SavedModel output must equal the Flax embedding."""
+        tf = pytest.importorskip("tensorflow")
+        from xmir_tpu.models import TinyEmbedder
+
+        m = TinyEmbedder(embedding_dim=8)
+        x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        want = np.asarray(m.apply(v, jnp.asarray(x))["embedding"])
+
+        out = str(tmp_path / "sm")
+        export.export_savedmodel(m, v, out, (None, 32, 32, 3))
+        loaded = tf.saved_model.load(out)
+        got = loaded.embed(tf.constant(x)).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_export_cli_torch(self, tmp_path):
+        from xmir_tpu.cli import export as export_cli
+
+        out = str(tmp_path / "resnet.npz")
+        export_cli.main(["--model", "resnet50", "--output", out])
+        sd = np.load(out)
+        assert "conv1.weight" in sd

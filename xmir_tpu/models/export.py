@@ -355,3 +355,31 @@ def export_backbone(name: str, variables: Dict, **kwargs) -> Dict[str, np.ndarra
         )
         return sd
     raise ValueError(f"no exporter for {name!r}")
+
+
+def export_savedmodel(model, variables: Dict, path: str, input_shape,
+                      dtype="float32"):
+    """Serving-format export via jax2tf -> TF SavedModel (the reference's
+    ONNX-export role, convert_to_onnx.py:1-26: hand the trained model to
+    non-JAX inference tooling; tf2onnx converts SavedModels onward to ONNX
+    where needed). The exported function maps an input batch to the
+    L2-normalized embedding."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    def embed(x):
+        out = model.apply(variables, x, train=False)
+        return out["embedding"] if isinstance(out, dict) else out
+
+    poly = ["(b, ...)"] if input_shape[0] is None else None
+    converted = jax2tf.convert(
+        embed, with_gradient=False, polymorphic_shapes=poly
+    )
+    module = tf.Module()
+    module.embed = tf.function(
+        converted,
+        autograph=False,
+        input_signature=[tf.TensorSpec(input_shape, dtype)],
+    )
+    tf.saved_model.save(module, path)
+    return path
