@@ -166,3 +166,21 @@ class TestInfo:
         idx.build(mesh)
         info = idx.info()
         assert info["sharding"]["devices"] == 8
+
+
+class TestPathRemap:
+    def test_remap_paths(self, rng, tmp_path):
+        """Reference milvus/path_mapper.py role: rewrite stored prefixes."""
+        from xmir_tpu.index import ShardedGalleryIndex
+
+        idx = ShardedGalleryIndex(8)
+        idx.add(
+            rng.standard_normal((4, 8)).astype(np.float32),
+            labels=[0, 1, 0, 1],
+            paths=[f"/kaggle/input/covid/im{i}.png" for i in range(3)]
+            + ["/other/x.png"],
+        )
+        n = idx.remap_paths("/kaggle/input", "/data")
+        assert n == 3
+        assert idx.paths[0] == "/data/covid/im0.png"
+        assert idx.paths[3] == "/other/x.png"

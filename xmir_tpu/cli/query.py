@@ -24,12 +24,19 @@ def main(argv=None):
     p.add_argument("--batch-size", default=64, type=int)
     p.add_argument("-j", "--workers", default=8, type=int)
     p.add_argument("--output", default="query_results.json")
+    p.add_argument("--path-map", default="",
+                   help="OLD=NEW gallery path prefix rewrite (reference "
+                        "milvus/path_mapper.py, e.g. /kaggle/input=/data)")
     args = p.parse_args(argv)
 
     from ..data.pipeline import embed_dataset
     from ..index import ShardedGalleryIndex
 
     idx = ShardedGalleryIndex.load(args.index)
+    if args.path_map:
+        old, _, new = args.path_map.partition("=")
+        n = idx.remap_paths(old, new)
+        print(f">> remapped {n} gallery paths ({old!r} -> {new!r})")
     print(f">> index: {idx.ntotal} vectors, dim={idx.dim}, metric={idx.metric}")
 
     dataset = build_dataset(args, args.split)

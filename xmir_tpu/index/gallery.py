@@ -280,6 +280,22 @@ class ShardedGalleryIndex:
             meta=json.dumps({"dim": self.dim, "metric": self.metric}),
         )
 
+    def remap_paths(self, old_prefix: str, new_prefix: str) -> int:
+        """Rewrite stored gallery path prefixes (the reference's
+        milvus/path_mapper.py role: Kaggle `/kaggle/input/...` artifacts
+        replayed on a local filesystem). Returns the number of paths
+        rewritten."""
+        changed = 0
+        out = []
+        for p in self._paths:
+            if p.startswith(old_prefix):
+                out.append(new_prefix + p[len(old_prefix):])
+                changed += 1
+            else:
+                out.append(p)
+        self._paths = out
+        return changed
+
     @classmethod
     def load(cls, path: str, mesh=None):
         data = np.load(path, allow_pickle=True)
