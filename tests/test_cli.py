@@ -338,3 +338,34 @@ class TestBiomedCLIPZeroShot:
         assert data["embeds"].shape[1] == 512
         assert len(data["predictions"]) == 32
         assert list(data["class_names"]) == ["class 0", "class 1", "class 2"]
+
+
+class TestChestmirIngestRawDetector:
+    def test_ingest_with_raw_plugin_then_two_stage(self, tmp_path):
+        """Full ChestMIR chain from a raw-output detector plugin: ingest
+        (global + detected-region embeddings) -> two-stage eval."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        try:
+            from xmir_tpu.cli import chestmir_eval, chestmir_ingest
+
+            gal = str(tmp_path / "cm.npz")
+            chestmir_ingest.main([
+                "--dataset", "synthetic", "--model", "tiny",
+                "--embedding-dim", "16", "--split", "train",
+                "--detector-plugin", "examples.detector_plugin_example",
+                "--raw-detector-outputs", "--tta", "0,4",
+                "--batch-size", "16", "--output", gal,
+            ])
+            data = np.load(gal, allow_pickle=True)
+            regions = json.loads(str(data["regions"])) if "regions" in data else None
+            out = str(tmp_path / "res.json")
+            chestmir_eval.main([
+                "--gallery", gal, "--target-lesions", "lung opacity",
+                "--output", out,
+            ])
+            res = json.load(open(out))
+            assert "stage1_global" in res
+        finally:
+            sys.path.remove("/root/repo")
