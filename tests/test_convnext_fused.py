@@ -80,3 +80,49 @@ class TestConvNeXtFusedBlock:
             np.asarray(fused, np.float32), np.asarray(base, np.float32),
             rtol=0.05, atol=0.05,
         )
+
+
+class TestTrainingGate:
+    def test_train_path_is_differentiable_and_skips_kernel(self, rng, monkeypatch):
+        """The custom kernels have no VJP: train=True must take the XLA path
+        even when fused mode is force-enabled."""
+        import xmir_tpu.ops.convnext_block_pallas as cbp
+        from xmir_tpu.models.convnext import ConvNeXtV2Block
+
+        blk = ConvNeXtV2Block(8)
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)), jnp.float32)
+        v = blk.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("XMIR_FUSED_MLP", "1")
+
+        def boom(*a, **k):
+            raise AssertionError("fused kernel must not run under train=True")
+
+        monkeypatch.setattr(cbp, "convnext_mlp_grn_fused", boom)
+
+        def loss(p):
+            return jnp.sum(blk.apply({"params": p}, x, train=True) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(g))
+
+    def test_swin_train_gate(self, rng, monkeypatch):
+        import xmir_tpu.ops.window_attn_pallas as wap
+        from xmir_tpu.models.swin import SwinV2Block
+
+        blk = SwinV2Block(8, 2, 4, 0, 4)
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)), jnp.float32)
+        v = blk.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("XMIR_FUSED_ATTN", "1")
+
+        def boom(*a, **k):
+            raise AssertionError("fused attention must not run under train=True")
+
+        monkeypatch.setattr(wap, "window_attention_fused", boom)
+
+        def loss(p):
+            return jnp.sum(blk.apply({"params": p}, x, train=True) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(g))

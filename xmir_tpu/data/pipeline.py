@@ -159,11 +159,28 @@ def embed_dataset(
     from .transforms import eval_preprocess
 
     if mesh is not None:
-        from ..parallel import batch_sharding
+        import jax as _jax
+        from jax.sharding import PartitionSpec as _P
+
+        from ..parallel import DATA_AXIS, batch_sharding
 
         sharding = batch_sharding(mesh)
         n_data = mesh.shape["data"]
         batch_size = -(-batch_size // n_data) * n_data  # divisible batches
+        # shard_map (Manual partitioning) rather than plain jit: each device
+        # runs embed_fn on its LOCAL batch shard, so Pallas kernels inside
+        # the model (window attention, fused MLP) execute per-device instead
+        # of forcing GSPMD to all-gather around an unpartitionable custom
+        # call
+        embed_fn = _jax.jit(
+            _jax.shard_map(
+                embed_fn,
+                mesh=mesh,
+                in_specs=(_P(), _P(DATA_AXIS)),
+                out_specs=_P(DATA_AXIS),
+                check_vma=False,
+            )
+        )
 
     host_size = spec.resize_size
     embeds, labels = [], []

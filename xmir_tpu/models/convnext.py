@@ -65,7 +65,7 @@ class ConvNeXtV2Block(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         h = nn.Conv(
             self.dim,
             (7, 7),
@@ -84,7 +84,9 @@ class ConvNeXtV2Block(nn.Module):
             fused_mlp_enabled,
         )
 
-        if fused_mlp_enabled(h.dtype):
+        # the fused kernel has no VJP — inference only; training keeps the
+        # differentiable XLA path
+        if fused_mlp_enabled(h.dtype) and not train:
             b_, hh, ww, c = x.shape
             out = convnext_mlp_grn_fused(
                 h.reshape(b_, hh * ww, c),
@@ -124,7 +126,9 @@ class ConvNeXtV2Backbone(nn.Module):
                     self.dims[i], (2, 2), strides=(2, 2), name=f"downsample{i}_conv"
                 )(x)
             for j in range(depth):
-                x = ConvNeXtV2Block(self.dims[i], name=f"stage{i}_block{j}")(x)
+                x = ConvNeXtV2Block(self.dims[i], name=f"stage{i}_block{j}")(
+                    x, train
+                )
         features = x
         pooled = jnp.mean(x, axis=(1, 2))
         ln = nn.LayerNorm(epsilon=1e-6, name="head_norm")

@@ -96,7 +96,8 @@ class WindowAttentionV2(nn.Module):
     num_windows: int = 1  # windows per image (for the fused-kernel layout)
 
     @nn.compact
-    def __call__(self, x, mask=None, output_attentions: bool = False):
+    def __call__(self, x, mask=None, output_attentions: bool = False,
+                 train: bool = False):
         # x: (num_windows*B, W², C)
         bw, n, _ = x.shape
         hd = self.dim // self.num_heads
@@ -142,7 +143,8 @@ class WindowAttentionV2(nn.Module):
             window_attention_fused,
         )
 
-        if not output_attentions and fused_attention_enabled():
+        # the fused kernel has no VJP — inference only
+        if not output_attentions and not train and fused_attention_enabled():
             # fold shift masks into the bias, reorder windows leading, and
             # run the fused VMEM-resident kernel (no (BW, H, N, N) attention
             # tensor ever reaches HBM)
@@ -190,7 +192,7 @@ class SwinV2Block(nn.Module):
     mlp_ratio: float = 4.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         # x: (B, H, W, C); post-norm residuals (SwinV2)
         b, h, w, c = x.shape
         win = min(self.window, h, w)
@@ -205,7 +207,7 @@ class SwinV2Block(nn.Module):
         xw, _ = WindowAttentionV2(
             self.dim, self.num_heads, win, min(self.pretrained_window, win),
             num_windows=(h // win) * (w // win), name="attn",
-        )(xw, mask)
+        )(xw, mask, train=train)
         x = window_reverse(xw, win, h, w)
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
@@ -259,7 +261,7 @@ class SwinV2Backbone(nn.Module):
                     shift=0 if j % 2 == 0 else self.window // 2,
                     pretrained_window=self.pretrained_window[i],
                     name=f"stage{i}_block{j}",
-                )(x)
+                )(x, train)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         features = x
         pooled = jnp.mean(x, axis=(1, 2))
