@@ -64,7 +64,7 @@ def bench_search(on_tpu: bool):
     queries = gallery[:QUERY_BATCH]
 
     if on_tpu:
-        search = lambda q, g: fused_topk(q, g, K, metric="ip", tile_q=256, tile_g=2048)
+        search = lambda q, g: fused_topk(q, g, K, metric="ip", tile_q=512, tile_g=2048)
         kernel = "pallas_fused"
     else:
         search = lambda q, g: tiled_topk(q, g, K, tile=8192, metric="ip")
@@ -127,7 +127,7 @@ def bench_search_bf16():
             def body(_, carry):
                 acc, bump = carry
                 vals, idxs = fused_topk(
-                    q + bump, g, K, metric="ip", tile_q=256, tile_g=2048,
+                    q + bump, g, K, metric="ip", tile_q=512, tile_g=2048,
                     compute_dtype=jnp.bfloat16,
                 )
                 s = jnp.sum(vals) + jnp.sum(idxs).astype(jnp.float32)

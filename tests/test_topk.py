@@ -131,3 +131,112 @@ class TestBf16Mode:
         np.testing.assert_allclose(
             np.asarray(v16), np.asarray(v32), atol=0.1
         )
+
+
+class TestPrunedAlgorithm:
+    """The lane-pruned exact kernel must match the K-pass merge bit-for-bit.
+
+    Scenarios target each internal path: spill (many candidates per lane),
+    pending-union (sparse improvements), flush (cross-tile lane collisions),
+    and the final pending merge.
+    """
+
+    @pytest.mark.parametrize("metric", METRICS)
+    def test_matches_bruteforce_interpret(self, rng, metric):
+        q = rng.standard_normal((9, 96)).astype(np.float32)
+        g = rng.standard_normal((777, 96)).astype(np.float32)
+        vals, idxs = fused_topk(
+            jnp.asarray(q), jnp.asarray(g), k=7, metric=metric,
+            tile_q=8, tile_g=128, interpret=True, algorithm="pruned",
+        )
+        bv, bi = brute_topk(q, g, 7, metric)
+        np.testing.assert_array_equal(np.asarray(idxs), bi)
+        np.testing.assert_allclose(np.asarray(vals), bv, atol=1e-4)
+
+    def test_massive_ties_spill_path(self, rng):
+        # quantized scores -> duplicates everywhere; exercises spill + the
+        # lower-index tie-break on every tile
+        q = np.ones((4, 32), dtype=np.float32)
+        g = rng.integers(0, 3, size=(520, 32)).astype(np.float32)
+        vals, idxs = fused_topk(
+            jnp.asarray(q), jnp.asarray(g), k=10, metric="ip",
+            tile_q=8, tile_g=128, interpret=True, algorithm="pruned",
+        )
+        bv, bi = brute_topk(q, g, 10, "ip")
+        np.testing.assert_array_equal(np.asarray(idxs), bi)
+
+    def test_ascending_scores_constant_updates(self):
+        # every later element beats the buffer -> candidates on every tile
+        q = np.ones((3, 16), dtype=np.float32)
+        g = np.arange(600, dtype=np.float32)[:, None] * np.ones((1, 16), np.float32)
+        vals, idxs = fused_topk(
+            jnp.asarray(q), jnp.asarray(g), k=5, metric="ip",
+            tile_q=8, tile_g=128, interpret=True, algorithm="pruned",
+        )
+        np.testing.assert_array_equal(np.asarray(idxs)[0], [599, 598, 597, 596, 595])
+
+    def test_descending_scores_prunes_everything(self):
+        # first tile fills the buffer; every later tile is fully pruned
+        q = np.ones((3, 16), dtype=np.float32)
+        g = np.arange(600, 0, -1, dtype=np.float32)[:, None] * np.ones((1, 16), np.float32)
+        vals, idxs = fused_topk(
+            jnp.asarray(q), jnp.asarray(g), k=5, metric="ip",
+            tile_q=8, tile_g=128, interpret=True, algorithm="pruned",
+        )
+        np.testing.assert_array_equal(np.asarray(idxs)[0], [0, 1, 2, 3, 4])
+
+    def test_sparse_improvements_pending_path(self, rng):
+        # mostly-flat gallery with isolated strong hits spread across tiles:
+        # hits survive pruning as lone lane candidates (pending/union path)
+        q = rng.standard_normal((4, 32)).astype(np.float32)
+        g = rng.standard_normal((1024, 32)).astype(np.float32) * 0.01
+        hot = [3, 131, 259, 390, 523, 650, 777, 901, 1000]
+        for h, scale in zip(hot, range(2, 20, 2)):
+            g[h] = q[h % 4] * float(scale)
+        vals, idxs = fused_topk(
+            jnp.asarray(q), jnp.asarray(g), k=6, metric="ip",
+            tile_q=8, tile_g=128, interpret=True, algorithm="pruned",
+        )
+        bv, bi = brute_topk(q, g, 6, "ip")
+        np.testing.assert_array_equal(np.asarray(idxs), bi)
+        np.testing.assert_allclose(np.asarray(vals), bv, atol=1e-4)
+
+    def test_single_tile_gallery(self, rng):
+        q = rng.standard_normal((5, 24)).astype(np.float32)
+        g = rng.standard_normal((100, 24)).astype(np.float32)
+        vals, idxs = fused_topk(
+            jnp.asarray(q), jnp.asarray(g), k=10, metric="cosine",
+            tile_q=8, tile_g=128, interpret=True, algorithm="pruned",
+        )
+        bv, bi = brute_topk(q, g, 10, "cosine")
+        np.testing.assert_array_equal(np.asarray(idxs), bi)
+
+    def test_large_k_and_ragged_tail(self, rng):
+        # k near the lane width plus a gallery that is not a tile multiple
+        q = rng.standard_normal((3, 48)).astype(np.float32)
+        g = rng.standard_normal((333, 48)).astype(np.float32)
+        vals, idxs = fused_topk(
+            jnp.asarray(q), jnp.asarray(g), k=100, metric="ip",
+            tile_q=8, tile_g=128, interpret=True, algorithm="pruned",
+        )
+        bv, bi = brute_topk(q, g, 100, "ip")
+        np.testing.assert_array_equal(np.asarray(idxs), bi)
+
+    def test_k_over_128_rejected(self, rng):
+        q = rng.standard_normal((2, 16)).astype(np.float32)
+        g = rng.standard_normal((300, 16)).astype(np.float32)
+        with pytest.raises(ValueError):
+            fused_topk(
+                jnp.asarray(q), jnp.asarray(g), k=129, metric="ip",
+                interpret=True, algorithm="pruned",
+            )
+
+    def test_auto_selects_merge_for_large_k(self, rng):
+        q = rng.standard_normal((2, 16)).astype(np.float32)
+        g = rng.standard_normal((300, 16)).astype(np.float32)
+        vals, idxs = fused_topk(
+            jnp.asarray(q), jnp.asarray(g), k=200, metric="ip",
+            tile_q=8, tile_g=128, interpret=True,
+        )
+        bv, bi = brute_topk(q, g, 200, "ip")
+        np.testing.assert_array_equal(np.asarray(idxs), bi)

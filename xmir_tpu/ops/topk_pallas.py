@@ -31,6 +31,34 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _merge_candidates(vals, idxs, cand_v, cand_i_f, k):
+    """Merge the running sorted top-k buffer with a candidate block.
+
+    ``vals``/``idxs``: (TQ, k_pad) running buffer, sorted desc by
+    (value, then ascending gallery index); slots >= k hold -inf.
+    ``cand_v``: (TQ, W) candidate scores (-inf = empty slot);
+    ``cand_i_f``: their gallery indices as float32 (exact for idx < 2^24 —
+    Mosaic only lowers float32 reductions; sharded galleries stay well below).
+    Ties break to the lower gallery index; the buffer's indices are always
+    lower than any candidate's (candidates come from later tiles), so the
+    buffer wins equal-value ties, matching ops.topk.tiled_topk / argsort.
+    """
+    combined = jnp.concatenate([vals, cand_v], axis=1)
+    combined_idx = jnp.concatenate([idxs.astype(jnp.float32), cand_i_f], axis=1)
+    new_vals = vals
+    new_idxs = idxs
+    kcol = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    for kk in range(k):
+        m = jnp.max(combined, axis=1)
+        eq = combined == m[:, None]
+        am = jnp.min(jnp.where(eq, combined_idx, jnp.float32(3e9)), axis=1)
+        pick = jnp.logical_and(eq, combined_idx == am[:, None])
+        new_vals = jnp.where(kcol == kk, m[:, None], new_vals)
+        new_idxs = jnp.where(kcol == kk, am[:, None].astype(jnp.int32), new_idxs)
+        combined = jnp.where(pick, NEG_INF, combined)
+    return new_vals, new_idxs
+
+
 def _topk_kernel(q_ref, g_ref, bias_ref, vals_out, idxs_out, vals_s, idxs_s, *, k, k_pad, tile_g, n_real):
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
@@ -48,29 +76,9 @@ def _topk_kernel(q_ref, g_ref, bias_ref, vals_out, idxs_out, vals_s, idxs_s, *, 
     gcol = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
     s = jnp.where(gcol < n_real, s, NEG_INF)
 
-    combined = jnp.concatenate([vals_s[:], s], axis=1)  # (TQ, k_pad + TG)
-    combined_idx = jnp.concatenate([idxs_s[:], gcol], axis=1)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, combined.shape, 1)
-
-    new_vals = vals_s[:]
-    new_idxs = idxs_s[:]
-    kcol = jax.lax.broadcasted_iota(jnp.int32, new_vals.shape, 1)
-    col_ids_f = col_ids.astype(jnp.float32)
-    combined_idx_f = combined_idx.astype(jnp.float32)
-    # K passes of masked argmax; earlier positions win ties, and the running
-    # buffer sits before the tile, so lower gallery indices win. Mosaic only
-    # lowers float32 reductions, so the position/index selection runs in f32
-    # (exact for indices < 2^24; galleries are sharded well below that).
-    for kk in range(k):
-        m = jnp.max(combined, axis=1)
-        eq = combined == m[:, None]
-        am = jnp.min(jnp.where(eq, col_ids_f, jnp.float32(3e9)), axis=1)
-        onehot = col_ids_f == am[:, None]
-        sel_idx = jnp.sum(jnp.where(onehot, combined_idx_f, 0.0), axis=1)
-        new_vals = jnp.where(kcol == kk, m[:, None], new_vals)
-        new_idxs = jnp.where(kcol == kk, sel_idx[:, None].astype(jnp.int32), new_idxs)
-        combined = jnp.where(onehot, NEG_INF, combined)
-
+    new_vals, new_idxs = _merge_candidates(
+        vals_s[:], idxs_s[:], s, gcol.astype(jnp.float32), k
+    )
     vals_s[:] = new_vals
     idxs_s[:] = new_idxs
 
@@ -80,18 +88,144 @@ def _topk_kernel(q_ref, g_ref, bias_ref, vals_out, idxs_out, vals_s, idxs_s, *, 
         idxs_out[:] = idxs_s[:]
 
 
+def _topk_kernel_pruned(
+    q_ref, g_ref, bias_ref, vals_out, idxs_out, vals_s, idxs_s,
+    pend_v1, pend_i1, pend_v2, pend_i2,
+    *, k, k_pad, tile_g, n_real,
+):
+    """Exact fused top-K with candidate pruning (the fast path, k <= 128).
+
+    The K-pass masked-argmax merge touches every score ~60 times on the VPU
+    at K=10, which dominates the MXU matmul. This kernel instead prunes each
+    tile against theta = the running k-th best score and keeps the top TWO
+    surviving candidates per vector lane (a running 2-deep insertion over the
+    tile's 128-wide chunks, ~11 VPU ops per score). Merging is deferred:
+
+    - two-level pending buffer: surviving lane candidates accumulate across
+      tiles in two (TQ, 128) scratch slots per lane (slot 1 filled first);
+      they are flushed into the top-k buffer only when a lane would need a
+      third slot. With 2 slots the flush probability falls quadratically in
+      the candidate density, so steady-state flushes are rare.
+    - spill fallback: if >= 3 candidates of one tile share a lane (counted
+      per lane), that tile is merged exactly via the full K-pass path.
+      Early tiles always spill (theta = -inf), which warms the buffer.
+
+    Both events are detected with data-dependent ``pl.when`` scalars, so the
+    steady-state cost is the lane scan alone. Exactness: a candidate is lost
+    only by lane collision, and every collision (3+ within a tile, or
+    tile-plus-pending overflow) triggers the exact merge instead.
+    """
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        vals_s[:] = jnp.full_like(vals_s, NEG_INF)
+        idxs_s[:] = jnp.zeros_like(idxs_s)
+        pend_v1[:] = jnp.full_like(pend_v1, NEG_INF)
+        pend_i1[:] = jnp.zeros_like(pend_i1)
+        pend_v2[:] = jnp.full_like(pend_v2, NEG_INF)
+        pend_i2[:] = jnp.zeros_like(pend_i2)
+
+    s = jnp.dot(q_ref[:], g_ref[:].T, preferred_element_type=jnp.float32)
+    s = s + bias_ref[:]
+    base = j * tile_g
+    gcol = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
+    s = jnp.where(gcol < n_real, s, NEG_INF)
+
+    tq = s.shape[0]
+    theta = vals_s[:, k - 1 : k]  # (TQ, 1) current k-th best; -inf until full.
+    # Strictly-greater pruning is exact: an element equal to theta has a
+    # higher gallery index than every buffer entry (later tile), so it can
+    # never displace one under (value, then lower-index) ordering.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
+    t_v1 = jnp.full((tq, 128), NEG_INF, jnp.float32)
+    t_c1 = jnp.zeros((tq, 128), jnp.int32)
+    t_v2 = jnp.full((tq, 128), NEG_INF, jnp.float32)
+    t_c2 = jnp.zeros((tq, 128), jnp.int32)
+    cnt = jnp.zeros((tq, 128), jnp.float32)
+    for c in range(tile_g // 128):
+        sc = s[:, c * 128 : (c + 1) * 128]
+        pc = sc > theta
+        cnt = cnt + pc.astype(jnp.float32)
+        scm = jnp.where(pc, sc, NEG_INF)
+        gt1 = scm > t_v1  # strict: earlier chunk (lower index) wins ties
+        demo_v = jnp.where(gt1, t_v1, scm)  # loser of the slot-1 comparison
+        demo_c = jnp.where(gt1, t_c1, c)
+        t_v1 = jnp.where(gt1, scm, t_v1)
+        t_c1 = jnp.where(gt1, c, t_c1)
+        gt2 = demo_v > t_v2
+        t_v2 = jnp.where(gt2, demo_v, t_v2)
+        t_c2 = jnp.where(gt2, demo_c, t_c2)
+    t_idx1 = base + t_c1 * 128 + lane
+    t_idx2 = base + t_c2 * 128 + lane
+
+    spill = jnp.max(cnt) >= 3.0
+    occ = (
+        jnp.where(pend_v1[:] > NEG_INF, 1.0, 0.0)
+        + jnp.where(pend_v2[:] > NEG_INF, 1.0, 0.0)
+        + jnp.where(t_v1 > NEG_INF, 1.0, 0.0)
+        + jnp.where(t_v2 > NEG_INF, 1.0, 0.0)
+    )
+    flush = jnp.max(occ) > 2.0
+
+    @pl.when(spill)
+    def _():
+        nv, ni = _merge_candidates(vals_s[:], idxs_s[:], s, gcol.astype(jnp.float32), k)
+        vals_s[:] = nv
+        idxs_s[:] = ni
+
+    @pl.when(jnp.logical_and(jnp.logical_not(spill), flush))
+    def _():
+        pend = jnp.concatenate([pend_v1[:], pend_v2[:]], axis=1)
+        pidx = jnp.concatenate([pend_i1[:], pend_i2[:]], axis=1)
+        nv, ni = _merge_candidates(vals_s[:], idxs_s[:], pend, pidx.astype(jnp.float32), k)
+        vals_s[:] = nv
+        idxs_s[:] = ni
+        pend_v1[:] = t_v1
+        pend_i1[:] = t_idx1
+        pend_v2[:] = t_v2
+        pend_i2[:] = t_idx2
+
+    @pl.when(jnp.logical_and(jnp.logical_not(spill), jnp.logical_not(flush)))
+    def _():
+        # enough free slots per lane: fill slot 1 first, overflow to slot 2.
+        # Invariant: slot 2 occupied implies slot 1 occupied, so the carried
+        # candidate is -inf whenever slot 2 is already taken (no-flush case).
+        e1 = pend_v1[:] <= NEG_INF
+        nv1 = jnp.where(e1, t_v1, pend_v1[:])
+        ni1 = jnp.where(e1, t_idx1, pend_i1[:])
+        carry_v = jnp.where(e1, t_v2, t_v1)
+        carry_i = jnp.where(e1, t_idx2, t_idx1)
+        e2 = pend_v2[:] <= NEG_INF
+        pend_v2[:] = jnp.where(e2, carry_v, pend_v2[:])
+        pend_i2[:] = jnp.where(e2, carry_i, pend_i2[:])
+        pend_v1[:] = nv1
+        pend_i1[:] = ni1
+
+    @pl.when(j == n_j - 1)
+    def _():
+        pend = jnp.concatenate([pend_v1[:], pend_v2[:]], axis=1)
+        pidx = jnp.concatenate([pend_i1[:], pend_i2[:]], axis=1)
+        nv, ni = _merge_candidates(vals_s[:], idxs_s[:], pend, pidx.astype(jnp.float32), k)
+        vals_out[:] = nv
+        idxs_out[:] = ni
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_q", "tile_g", "interpret", "compute_dtype")
+    jax.jit,
+    static_argnames=("k", "tile_q", "tile_g", "interpret", "compute_dtype", "algorithm"),
 )
 def fused_topk_scores(
     queries: jnp.ndarray,
     gallery: jnp.ndarray,
     bias: jnp.ndarray,
     k: int,
-    tile_q: int = 128,
-    tile_g: int = 1024,
+    tile_q: int = 512,
+    tile_g: int = 2048,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    algorithm: str = "auto",
 ):
     """Core fused kernel on dot-product+bias scores.
 
@@ -102,11 +236,23 @@ def fused_topk_scores(
     ~3x matmul throughput on the MXU for near-tie-level ranking differences —
     the fast serving mode; float32 (default) matches the XLA reference path
     bit-for-bit.
+
+    algorithm: "pruned" (exact, lane-pruned merge — fastest, k <= 128),
+    "merge" (exact K-pass merge every tile), or "auto" (pruned when k <= 128).
+    Both are exact; they differ only in VPU work per score.
     """
     q_n, d = queries.shape
     n_real = gallery.shape[0]
     if k > n_real:
         raise ValueError(f"k={k} > gallery size {n_real}")
+    if algorithm == "auto":
+        algorithm = "pruned" if (k <= 128 and tile_g % 128 == 0) else "merge"
+    if algorithm == "pruned" and k > 128:
+        raise ValueError("algorithm='pruned' supports k <= 128")
+    if algorithm == "pruned" and tile_g % 128 != 0:
+        raise ValueError("algorithm='pruned' needs tile_g to be a multiple of 128")
+    if algorithm not in ("pruned", "merge"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
 
     k_pad = _round_up(max(k, 1), 128)
     d_pad = _round_up(d, 128)
@@ -114,16 +260,22 @@ def fused_topk_scores(
     q_pad = _round_up(q_n, 8)
     tile_q = min(tile_q, q_pad)
 
-    # clamp tiles to the ~16MB VMEM budget: double-buffered input blocks plus
-    # the score tile, merge buffers, and top-K scratch must fit
-    def vmem_bytes(tq, tg):
-        inputs = 2 * (tq * d_pad + tg * d_pad + tg)  # double-buffered
-        work = tq * tg + 2 * tq * (k_pad + tg) + 4 * tq * k_pad
-        return 4 * (inputs + work)
+    # clamp tiles to the VMEM budget: double-buffered input blocks plus the
+    # score tile, merge buffers, and top-K scratch must fit. The pruned
+    # kernel raises the Mosaic scoped-vmem limit (v5e has 128MB physical;
+    # the 16MB default exists for pipelining headroom), so it can afford the
+    # large tiles that keep the MXU matmul efficient.
+    isz = jnp.dtype(compute_dtype).itemsize
 
-    while tile_g > 128 and vmem_bytes(tile_q, tile_g) > 14 * 1024 * 1024:
+    def vmem_bytes(tq, tg):
+        inputs = isz * 2 * (tq * d_pad + tg * d_pad) + 4 * 2 * tg  # double-buffered
+        work = 4 * (tq * tg + 2 * tq * (k_pad + tg) + 4 * tq * k_pad)
+        return inputs + work
+
+    budget = 40 * 1024 * 1024 if algorithm == "pruned" else 14 * 1024 * 1024
+    while tile_g > 128 and vmem_bytes(tile_q, tile_g) > budget:
         tile_g //= 2
-    while tile_q > 8 and vmem_bytes(tile_q, tile_g) > 14 * 1024 * 1024:
+    while tile_q > 8 and vmem_bytes(tile_q, tile_g) > budget:
         tile_q //= 2
 
     q_pad = _round_up(q_n, tile_q)
@@ -135,8 +287,22 @@ def fused_topk_scores(
     bp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n_real].set(bias.astype(jnp.float32))
 
     grid = (q_pad // tile_q, n_pad // tile_g)
+    scratch_shapes = [
+        pltpu.VMEM((tile_q, k_pad), jnp.float32),
+        pltpu.VMEM((tile_q, k_pad), jnp.int32),
+    ]
+    if algorithm == "pruned":
+        kernel_fn = _topk_kernel_pruned
+        scratch_shapes += [
+            pltpu.VMEM((tile_q, 128), jnp.float32),
+            pltpu.VMEM((tile_q, 128), jnp.int32),
+            pltpu.VMEM((tile_q, 128), jnp.float32),
+            pltpu.VMEM((tile_q, 128), jnp.int32),
+        ]
+    else:
+        kernel_fn = _topk_kernel
     kernel = functools.partial(
-        _topk_kernel, k=k, k_pad=k_pad, tile_g=tile_g, n_real=n_real
+        kernel_fn, k=k, k_pad=k_pad, tile_g=tile_g, n_real=n_real
     )
     vals, idxs = pl.pallas_call(
         kernel,
@@ -154,14 +320,16 @@ def fused_topk_scores(
             jax.ShapeDtypeStruct((q_pad, k_pad), jnp.float32),
             jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((tile_q, k_pad), jnp.float32),
-            pltpu.VMEM((tile_q, k_pad), jnp.int32),
-        ],
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * n_pad * d_pad,
             bytes_accessed=(q_pad * d_pad + n_pad * d_pad + 2 * q_pad * k_pad) * 4,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(
+                96 * 1024 * 1024 if algorithm == "pruned" else 16 * 1024 * 1024
+            ),
         ),
         interpret=interpret,
     )(qp, gp, bp)
@@ -173,24 +341,25 @@ def fused_topk(
     gallery: jnp.ndarray,
     k: int,
     metric: str = "cosine",
-    tile_q: int = 128,
-    tile_g: int = 1024,
+    tile_q: int = 512,
+    tile_g: int = 2048,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    algorithm: str = "auto",
 ):
     """Metric-aware fused exact top-K (drop-in for ops.topk.tiled_topk)."""
     if metric == "cosine":
         q = queries / jnp.maximum(jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
         g = gallery / jnp.maximum(jnp.linalg.norm(gallery, axis=-1, keepdims=True), 1e-12)
         bias = jnp.zeros((g.shape[0],), jnp.float32)
-        return fused_topk_scores(q, g, bias, k, tile_q, tile_g, interpret, compute_dtype)
+        return fused_topk_scores(q, g, bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm)
     if metric == "ip":
         bias = jnp.zeros((gallery.shape[0],), jnp.float32)
-        return fused_topk_scores(queries, gallery, bias, k, tile_q, tile_g, interpret, compute_dtype)
+        return fused_topk_scores(queries, gallery, bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm)
     if metric == "l2":
         gsq = jnp.sum(gallery.astype(jnp.float32) ** 2, axis=-1)
         bias = -gsq / 2.0
-        vals, idxs = fused_topk_scores(queries, gallery, bias, k, tile_q, tile_g, interpret, compute_dtype)
+        vals, idxs = fused_topk_scores(queries, gallery, bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm)
         # recompute true negative-L2 values on the gathered top-K
         gsel = jnp.take(gallery, idxs, axis=0)  # (Q, k, D)
         diff = queries[:, None, :].astype(jnp.float32) - gsel.astype(jnp.float32)
@@ -201,7 +370,7 @@ def fused_topk(
         sg = jnp.where(gallery >= 0, 1.0, -1.0).astype(jnp.float32)
         bias = jnp.zeros((sg.shape[0],), jnp.float32)
         vals, idxs = fused_topk_scores(
-            sq, sg, bias, k, tile_q, tile_g, interpret, compute_dtype
+            sq, sg, bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm
         )
         d = queries.shape[-1]
         return -(d - vals) / 2.0, idxs
