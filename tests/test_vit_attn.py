@@ -1,0 +1,115 @@
+"""Single-pass fused ViT attention (ops/vit_attn_pallas.py) vs the XLA
+reference, in Pallas interpret mode on the CPU mesh.
+
+The kernel's correctness hinges on the padding algebra: zero-padded keys
+score exactly 0, are removed from the softmax denominator analytically,
+and contribute nothing to the value dot. These tests pick shapes that
+exercise each branch (no padding, key-only padding, query+key padding,
+non-128 head dims, negative-logit rows where the pad max dominates).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xmir_tpu.ops.vit_attn_pallas import (
+    _attention_reference,
+    vit_attention_fused,
+)
+
+
+def _check(q, k, v, scale, atol=2e-5):
+    out = vit_attention_fused(q, k, v, scale, True)
+    ref = _attention_reference(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+class TestForward:
+    def test_no_padding(self, rng):
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((3, 256, 64)), jnp.float32)
+            for _ in range(3)
+        )
+        _check(q, k, v, 0.125)
+
+    def test_key_and_query_padding(self, rng):
+        # 300 -> tq 128/256 grid with padded rows and padded key columns
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((2, 300, 64)), jnp.float32)
+            for _ in range(3)
+        )
+        _check(q, k, v, 0.125)
+
+    def test_dinov2_like_ragged(self, rng):
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((2, 343, 32)), jnp.float32)
+            for _ in range(3)
+        )
+        _check(q, k, v, 32**-0.5)
+
+    def test_non_pow2_head_dim(self, rng):
+        # MedSigLIP head_dim 72
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((2, 130, 72)), jnp.float32)
+            for _ in range(3)
+        )
+        _check(q, k, v, 72**-0.5)
+
+    def test_all_negative_logits(self, rng):
+        # every real score < 0, so the pad columns own the row max (m = 0);
+        # the denominator correction must still recover the exact softmax
+        q = jnp.asarray(rng.standard_normal((1, 200, 16)), jnp.float32)
+        k = -q * 5.0
+        v = jnp.asarray(rng.standard_normal((1, 200, 16)), jnp.float32)
+        _check(q, k, v, 1.0, atol=1e-4)
+
+    def test_bf16_inputs(self, rng):
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((2, 200, 64)), jnp.bfloat16)
+            for _ in range(3)
+        )
+        out = vit_attention_fused(q, k, v, 0.125, True)
+        ref = _attention_reference(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), 0.125
+        )
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out).astype(np.float32), np.asarray(ref), atol=3e-2
+        )
+
+
+class TestBackward:
+    def test_grads_match_reference(self, rng):
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((2, 140, 32)), jnp.float32)
+            for _ in range(3)
+        )
+
+        def f(q, k, v):
+            return jnp.sum(vit_attention_fused(q, k, v, 32**-0.5, True) ** 2)
+
+        def fr(q, k, v):
+            return jnp.sum(_attention_reference(q, k, v, 32**-0.5) ** 2)
+
+        g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+class TestModelDispatch:
+    def test_vit_block_uses_kernel_under_flag(self, rng, monkeypatch):
+        """The ViT tower's output with the fused path forced on (interpret
+        via CPU fallback is exercised elsewhere; here we check the flag
+        plumbing keeps the XLA path when disabled)."""
+        monkeypatch.setenv("XMIR_FLASH_ATTN", "0")
+        from xmir_tpu.ops.plain_attn import plain_flash_enabled
+
+        assert not plain_flash_enabled(jnp.bfloat16, 1370)
+        monkeypatch.setenv("XMIR_FLASH_ATTN", "1")
+        assert plain_flash_enabled(jnp.float32, 64)

@@ -82,9 +82,10 @@ class TestWindowAttentionFused:
 
 
 class TestPlainFlashGating:
-    """flash_attention_plain runs only where it wins (TPU, bf16, seq lengths
-    whose 128-padding is 256-divisible); numerics are checked on real TPU in
-    the verify drive (max |diff| ~2e-3 at bf16)."""
+    """flash_attention_plain runs only where it wins (TPU, bf16 — the
+    single-pass kernel handles every sequence length, ragged DINOv2 1370
+    included); numerics are checked on real TPU in the verify drive
+    (max |diff| ~2e-3 at bf16)."""
 
     def test_disabled_on_cpu(self):
         from xmir_tpu.ops.plain_attn import plain_flash_enabled
@@ -99,13 +100,14 @@ class TestPlainFlashGating:
         monkeypatch.setenv("XMIR_FLASH_ATTN", "0")
         assert not plain_flash_enabled(jnp.bfloat16, 1024)
 
-    def test_block_unfriendly_lengths_excluded(self, monkeypatch):
+    def test_enabled_for_all_lengths_on_tpu_bf16(self, monkeypatch):
         from xmir_tpu.ops import plain_attn
 
         monkeypatch.setattr(
             plain_attn.jax, "default_backend", lambda: "tpu"
         )
-        assert plain_attn.plain_flash_enabled(jnp.bfloat16, 1024)   # 1024
-        assert plain_attn.plain_flash_enabled(jnp.bfloat16, 729)    # -> 768
-        assert not plain_attn.plain_flash_enabled(jnp.bfloat16, 1370)  # -> 1408
+        assert plain_attn.plain_flash_enabled(jnp.bfloat16, 1024)
+        assert plain_attn.plain_flash_enabled(jnp.bfloat16, 729)
+        assert plain_attn.plain_flash_enabled(jnp.bfloat16, 1370)
+        # f32 keeps the XLA einsum path for converted-checkpoint parity
         assert not plain_attn.plain_flash_enabled(jnp.float32, 1024)

@@ -1,12 +1,14 @@
-"""Flash attention for the plain (non-windowed) ViT towers.
+"""Fused attention for the plain (non-windowed) ViT towers.
 
 MedSigLIP SO400M at 448px materializes (B, 16, 1024, 1024) attention
 tensors in HBM per layer x 27 layers — the same bandwidth sink the Swin
-kernel removed. The stock Pallas TPU flash-attention kernel streams K/V
-blocks through VMEM with an online softmax, so the score matrix never
-reaches HBM. Sequence lengths that aren't 128-multiples (DINOv2's 1370,
-ConceptCLIP's 729) are zero-padded with segment-id masking: padded keys
-never contribute to real queries, so real-token outputs are exact.
+kernel removed. Round 1 used the stock Pallas TPU flash kernel; it tops
+out ~43 TFLOP/s on these modest sequence lengths regardless of block
+sizes (online-softmax bookkeeping dominates). Since a whole (N, D) K/V
+pane fits VMEM outright at ViT sizes, the round-2 default is the
+single-pass kernel in ops/vit_attn_pallas.py (~25% faster on both the
+DINOv2 and MedSigLIP shapes); XMIR_FLASH_IMPL=stock reselects the stock
+flash kernel.
 
 Enabled on TPU for bf16 compute (f32 keeps the XLA einsum path for
 bit-level converted-checkpoint parity); XMIR_FLASH_ATTN=0/1 overrides.
@@ -19,10 +21,7 @@ import jax
 import jax.numpy as jnp
 
 
-def flash_attention_plain(q, k, v, sm_scale: float):
-    """softmax(q @ k^T * sm_scale) @ v via the TPU flash kernel.
-
-    q, k, v: (B, H, N, hd). Returns (B, H, N, hd) in v.dtype."""
+def _stock_flash(q, k, v, sm_scale: float):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         SegmentIds,
@@ -30,8 +29,14 @@ def flash_attention_plain(q, k, v, sm_scale: float):
     )
 
     b, h, n, d = q.shape
-    n_pad = -(-n // 128) * 128
-    block = next(bs for bs in (512, 256, 128) if n_pad % bs == 0)
+    # pad to the coarsest block multiple whose overhead stays small: large
+    # K/V blocks amortize the flash grid overhead (measured: 512-blocks at
+    # +12% padding beat 128-blocks at minimal padding, 2.1ms vs 3.4ms on
+    # the DINOv2 shape)
+    for block, max_ratio in ((512, 1.30), (256, 1.20), (128, 10.0)):
+        n_pad = -(-n // block) * block
+        if n_pad <= max_ratio * n:
+            break
     block_sizes = BlockSizes(
         block_q=block, block_k_major=block, block_k=block, block_b=1,
         block_q_major_dkv=block, block_k_major_dkv=block, block_k_dkv=block,
@@ -55,18 +60,26 @@ def flash_attention_plain(q, k, v, sm_scale: float):
     return flash_attention(q, k, v, sm_scale=sm_scale, block_sizes=block_sizes)
 
 
+def flash_attention_plain(q, k, v, sm_scale: float):
+    """softmax(q @ k^T * sm_scale) @ v, fused.
+
+    q, k, v: (B, H, N, hd). Returns (B, H, N, hd) in v.dtype."""
+    if os.environ.get("XMIR_FLASH_IMPL", "") == "stock":
+        return _stock_flash(q, k, v, sm_scale)
+    from .vit_attn_pallas import vit_attention_fused
+
+    b, h, n, d = q.shape
+    out = vit_attention_fused(
+        q.reshape(b * h, n, d), k.reshape(b * h, n, d), v.reshape(b * h, n, d),
+        sm_scale,
+    )
+    return out.reshape(b, h, n, d)
+
+
 def plain_flash_enabled(dtype, n: int = 256) -> bool:
     flag = os.environ.get("XMIR_FLASH_ATTN", "")
     if flag == "0":
         return False
     if flag == "1":
         return True
-    # lengths that pad to a multiple of 256 keep >=256 K/V blocks; 128-blocks
-    # (e.g. DINOv2's 1370 -> 1408) drown in grid overhead and run SLOWER
-    # than the XLA path — measured 192 -> 85 img/s — so fall back there
-    n_pad = -(-n // 128) * 128
-    return (
-        dtype == jnp.bfloat16
-        and n_pad % 256 == 0
-        and jax.default_backend() == "tpu"
-    )
+    return dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
