@@ -13,6 +13,7 @@ from typing import Sequence
 
 import flax.linen as nn
 
+from .vit import DenseParams
 from .activations import adaptive_gelu
 import jax.numpy as jnp
 
@@ -44,21 +45,6 @@ class _GRNParams(nn.Module):
         return gamma, beta
 
 
-class _DenseParams(nn.Module):
-    """Declares an nn.Dense-compatible {kernel, bias} param pair without
-    forcing the XLA matmul path — the fused block kernel consumes the raw
-    arrays, the fallback path applies them as x @ k + b (identical math)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        k = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (in_features, self.features),
-        )
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return k, b
 
 
 class ConvNeXtV2Block(nn.Module):
@@ -75,8 +61,8 @@ class ConvNeXtV2Block(nn.Module):
         )(x)
         h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
 
-        w1, b1 = _DenseParams(4 * self.dim, name="pwconv1")(self.dim)
-        w2, b2 = _DenseParams(self.dim, name="pwconv2")(4 * self.dim)
+        w1, b1 = DenseParams(4 * self.dim, name="pwconv1")(self.dim)
+        w2, b2 = DenseParams(self.dim, name="pwconv2")(4 * self.dim)
         gamma, beta = _GRNParams(4 * self.dim, name="grn")()
 
         from ..ops.convnext_block_pallas import (

@@ -24,8 +24,29 @@ class SiglipAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, output_attentions: bool = False):
-        b, n, _ = x.shape
-        hd = self.dim // self.num_heads
+        b, n, c = x.shape
+        h = self.num_heads
+        hd = self.dim // h
+
+        from .vit import DenseParams
+        from ..ops.plain_attn import flash_attention_plain, plain_flash_enabled
+
+        if not output_attentions and plain_flash_enabled(x.dtype, n):
+            # head-major projections (see models/vit.py): XLA folds the
+            # N<->H transpose into each matmul's output layout
+            def proj(name):
+                w, bias = DenseParams(self.dim, True, name=name)(c)
+                dt = jnp.promote_types(x.dtype, w.dtype)
+                t = jnp.einsum(
+                    "bnc,chd->bhnd", x.astype(dt), w.astype(dt).reshape(c, h, hd)
+                )
+                return t + bias.reshape(1, h, 1, hd).astype(t.dtype)
+
+            q, k, v = proj("q_proj"), proj("k_proj"), proj("v_proj")
+            out = flash_attention_plain(q, k, v, hd**-0.5)
+            out = jnp.swapaxes(out, 1, 2).reshape(b, n, self.dim)
+            return nn.Dense(self.dim, name="out_proj")(out), None
+
         q = nn.Dense(self.dim, name="q_proj")(x)
         k = nn.Dense(self.dim, name="k_proj")(x)
         v = nn.Dense(self.dim, name="v_proj")(x)
@@ -34,13 +55,6 @@ class SiglipAttention(nn.Module):
             return jnp.swapaxes(t.reshape(b, n, self.num_heads, hd), 1, 2)
 
         q, k, v = split(q), split(k), split(v)
-
-        from ..ops.plain_attn import flash_attention_plain, plain_flash_enabled
-
-        if not output_attentions and plain_flash_enabled(v.dtype, v.shape[2]):
-            out = flash_attention_plain(q, k, v, hd**-0.5)
-            out = jnp.swapaxes(out, 1, 2).reshape(b, n, self.dim)
-            return nn.Dense(self.dim, name="out_proj")(out), None
 
         attn = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32

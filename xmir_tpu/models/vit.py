@@ -17,6 +17,27 @@ from .activations import adaptive_gelu
 import jax.numpy as jnp
 
 
+class DenseParams(nn.Module):
+    """Raw kernel/bias with nn.Dense-compatible naming, shapes, and init —
+    lets the caller contract them with a custom einsum (head-major output)
+    while converted checkpoints keep loading under the same param tree."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     dim: int
     num_heads: int
@@ -24,21 +45,37 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, output_attentions: bool = False):
-        b, n, _ = x.shape
-        head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        b, n, c = x.shape
+        h = self.num_heads
+        head_dim = self.dim // h
+        w, bias = DenseParams(3 * self.dim, self.qkv_bias, name="qkv")(c)
+        # nn.Dense promote_dtype semantics: compute in the widest of x/w
+        compute_dtype = jnp.promote_types(x.dtype, w.dtype)
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+
+        from ..ops.plain_attn import flash_attention_plain, plain_flash_enabled
+
+        if not output_attentions and plain_flash_enabled(x.dtype, n):
+            # head-major projection: contracting against the (C, 3, H, hd)
+            # reshaped kernel with heads ordered before tokens lets XLA fold
+            # the N<->H transpose into the matmul's output layout instead of
+            # materializing three (B, N, H, hd) copies afterwards
+            qkv = jnp.einsum("bnc,cthd->tbhnd", x, w.reshape(c, 3, h, head_dim))
+            if bias is not None:
+                qkv = qkv + bias.reshape(3, 1, h, 1, head_dim).astype(qkv.dtype)
+            out = flash_attention_plain(qkv[0], qkv[1], qkv[2], head_dim**-0.5)
+            out = jnp.swapaxes(out, 1, 2).reshape(b, n, self.dim)
+            return nn.Dense(self.dim, name="proj")(out), None
+
+        qkv = x @ w
+        if bias is not None:
+            qkv = qkv + bias.astype(qkv.dtype)
+        qkv = qkv.reshape(b, n, 3, h, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, H, hd)
         q = jnp.swapaxes(q, 1, 2)  # (B, H, N, hd)
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
-
-        from ..ops.plain_attn import flash_attention_plain, plain_flash_enabled
-
-        if not output_attentions and plain_flash_enabled(v.dtype, v.shape[2]):
-            out = flash_attention_plain(q, k, v, head_dim**-0.5)
-            out = jnp.swapaxes(out, 1, 2).reshape(b, n, self.dim)
-            return nn.Dense(self.dim, name="proj")(out), None
 
         attn = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32

@@ -41,9 +41,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad_extra):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad_extra, scale):
     # q/o blocks (bb, TQ, D); k/v blocks (bb, NK, D). The softmax scale is
-    # pre-folded into q. No key masking pass: zero-padded keys score exactly
+    # applied to the (TQ, D) q tile in VMEM — 20x smaller than the score
+    # matrix and free of the host-side HBM pass a pre-scale would cost.
+    # No key masking pass: zero-padded keys score exactly
     # 0, contribute exp(-m) each to the denominator (corrected analytically
     # below) and nothing to the value dot (their v rows are zero). rowmax
     # over the padded scores is max(real, 0) >= any real score, so the
@@ -51,7 +53,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad_extra):
     # exp(s - m) is eliminated; normalization is deferred past the value
     # matmul ((e/Z) @ v == (e @ v)/Z) so it touches (TQ, D), not (TQ, NK).
     for i in range(q_ref.shape[0]):  # static unroll over folded batch*heads
-        q = q_ref[i]
+        q = q_ref[i] * jnp.asarray(scale, q_ref.dtype)
         s = jnp.dot(q, k_ref[i].T, preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
@@ -111,13 +113,12 @@ def _attention_fwd_pallas(q, k, v, sm_scale: float, interpret: bool = False):
     while bh % bb:
         bb -= 1
 
-    qp = jnp.pad(q.astype(jnp.float32) * sm_scale, ((0, 0), (0, nq_pad - n), (0, 0)))
-    qp = qp.astype(q.dtype)
-    kp = jnp.pad(k, ((0, 0), (0, nk_pad - n), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, nk_pad - n), (0, 0)))
+    qp = jnp.pad(q, ((0, 0), (0, nq_pad - n), (0, 0))) if nq_pad != n else q
+    kp = jnp.pad(k, ((0, 0), (0, nk_pad - n), (0, 0))) if nk_pad != n else k
+    vp = jnp.pad(v, ((0, 0), (0, nk_pad - n), (0, 0))) if nk_pad != n else v
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_pad_extra=nk_pad - n),
+        functools.partial(_kernel, n_pad_extra=nk_pad - n, scale=sm_scale),
         grid=(bh // bb, nq_pad // tq),
         in_specs=[
             pl.BlockSpec((bb, tq, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
