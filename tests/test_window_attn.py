@@ -58,8 +58,9 @@ class TestWindowAttentionFused:
         )
 
     def test_model_fused_matches_xla_path(self, rng, monkeypatch):
-        """Whole SwinV2 block through both attention paths (interpret on CPU
-        via the env flag + monkeypatched interpret default)."""
+        """Whole SwinV2 block through the v1 (per-window-head) fused kernel
+        vs the XLA path (interpret on CPU via the env flag + monkeypatched
+        interpret default)."""
         import xmir_tpu.ops.window_attn_pallas as wap
         from xmir_tpu.models import SwinV2Backbone
 
@@ -70,12 +71,40 @@ class TestWindowAttentionFused:
         base = m.apply(v, x)["pooled"]
 
         monkeypatch.setenv("XMIR_FUSED_ATTN", "1")
+        monkeypatch.setenv("XMIR_SWIN_KERNEL", "v1")
         real_fused = wap.window_attention_fused
 
         def interp_fused(qs, kn, vv, bias, interpret=False):
             return real_fused(qs, kn, vv, bias, interpret=True)
 
         monkeypatch.setattr(wap, "window_attention_fused", interp_fused)
+        fused = m.apply(v, x)["pooled"]
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_model_grouped_bias_kernel_matches_xla_path(self, rng, monkeypatch):
+        """Whole SwinV2 block through the round-2 grouped-bias single-pass
+        kernel (the default fused path) vs the XLA path."""
+        import xmir_tpu.models.swin as swin_mod
+        import xmir_tpu.ops.vit_attn_pallas as vap
+        from xmir_tpu.models import SwinV2Backbone
+
+        m = SwinV2Backbone(embed_dim=16, depths=(1, 1), num_heads=(2, 4),
+                           window=4, pretrained_window=(4, 4))
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        base = m.apply(v, x)["pooled"]
+
+        monkeypatch.setenv("XMIR_FUSED_ATTN", "1")
+        real = vap.biased_attention_fused
+
+        def interp(q, k, vv, bias, scale, g_size=1, cosine=False, interpret=False):
+            return real(q, k, vv, bias, scale, g_size, cosine, True)
+
+        monkeypatch.setattr(swin_mod, "biased_attention_fused", interp,
+                            raising=False)
+        import xmir_tpu.ops.vit_attn_pallas as _v
+        monkeypatch.setattr(_v, "biased_attention_fused", interp)
         fused = m.apply(v, x)["pooled"]
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                    rtol=1e-4, atol=1e-5)

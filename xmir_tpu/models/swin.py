@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Sequence
 
 import flax.linen as nn
@@ -143,28 +144,61 @@ class WindowAttentionV2(nn.Module):
             window_attention_fused,
         )
 
-        # the fused kernel has no VJP — inference only
+        # the fused kernels gate out of training (VJP via XLA recompute only)
         if not output_attentions and not train and fused_attention_enabled():
-            # fold shift masks into the bias, reorder windows leading, and
-            # run the fused VMEM-resident kernel (no (BW, H, N, N) attention
-            # tensor ever reaches HBM)
+            # fold shift masks into the bias, group rows as (window, head)
+            # with the image batch minor, and run a fused VMEM-resident
+            # kernel (no (BW, H, N, N) attention tensor ever reaches HBM)
             nw = self.num_windows
-            total = bias[None].astype(jnp.float32)  # (1, H, N, N)
-            if mask is not None:
-                total = total + mask[:, None, :, :]  # (nw, H, N, N)
+            nh = self.num_heads
+            b_img = bw // nw
             qs = (qn * scale[None]).astype(qn.dtype)
 
-            def to_wbhnd(t):
-                t = t.reshape(bw // nw, nw, self.num_heads, n, hd)
-                return jnp.transpose(t, (1, 0, 2, 3, 4))
+            if os.environ.get("XMIR_SWIN_KERNEL", "") == "v1":
+                total = bias[None].astype(jnp.float32)  # (1, H, N, N)
+                if mask is not None:
+                    total = total + mask[:, None, :, :]  # (nw, H, N, N)
 
-            out = window_attention_fused(
-                to_wbhnd(qs), to_wbhnd(kn), to_wbhnd(v), total
+                def to_wbhnd(t):
+                    t = t.reshape(b_img, nw, nh, n, hd)
+                    return jnp.transpose(t, (1, 0, 2, 3, 4))
+
+                out = window_attention_fused(
+                    to_wbhnd(qs), to_wbhnd(kn), to_wbhnd(v), total
+                )
+                # (nw, B, H, N, hd) -> (B, nw, N, H, hd) -> (BW, N, C)
+                out = jnp.transpose(out, (1, 0, 3, 2, 4)).reshape(bw, n, self.dim)
+                return nn.Dense(self.dim, name="proj")(out), None
+
+            # round-2 single-pass kernel: whole-window query tiles, one-pass
+            # softmax with deferred normalization, cosine q/k normalization
+            # and the per-head logit scale applied in VMEM. Fold order
+            # (head, window, image) keeps each bias block resident across
+            # consecutive grid steps: without a shift mask the (H, N, N)
+            # bias slice is shared by all nw*B rows of a head; with one,
+            # the (H*nw, N, N) slice by the B rows of a (head, window) pair.
+            from ..ops.vit_attn_pallas import biased_attention_fused
+
+            scale_h = scale.reshape(nh)
+            if mask is not None:
+                total = (bias[:, None] + mask[None, :, :, :]).reshape(-1, n, n)
+                scale_g = jnp.repeat(scale_h, nw)
+                g_size = b_img
+            else:
+                total = bias  # (H, N, N)
+                scale_g = scale_h
+                g_size = nw * b_img
+
+            def fold(t):  # (BW, H, N, hd) -> (H*nw*B, N, hd)
+                t = t.reshape(b_img, nw, nh, n, hd)
+                return jnp.transpose(t, (2, 1, 0, 3, 4)).reshape(-1, n, hd)
+
+            out = biased_attention_fused(
+                fold(q), fold(k), fold(v), total, scale_g, g_size, True
             )
-            # (nw, B, H, N, hd) -> (B, nw, N, H, hd) -> (BW, N, C)
-            out = jnp.transpose(out, (1, 0, 3, 2, 4)).reshape(bw, n, self.dim)
-            out = nn.Dense(self.dim, name="proj")(out)
-            return out, None
+            out = out.reshape(nh, nw, b_img, n, hd)
+            out = jnp.transpose(out, (2, 1, 3, 0, 4)).reshape(bw, n, self.dim)
+            return nn.Dense(self.dim, name="proj")(out), None
 
         attn = jnp.einsum(
             "bhqd,bhkd->bhqk", qn, kn, preferred_element_type=jnp.float32

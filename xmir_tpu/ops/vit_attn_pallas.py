@@ -98,17 +98,21 @@ def _attention_fwd_pallas(q, k, v, sm_scale: float, interpret: bool = False):
     nq_pad = _round_up(n, tq)
     nk_pad = _choose_nk_pad(n)
 
-    # fold as many heads per grid step as a ~28MB working set allows
+    # fold as many heads per grid step as a ~64MB working set allows (of the
+    # 96MB scoped limit; the rest covers kernel intermediates). VMEM lays
+    # the minor dim out in 128-lane tiles, so head_dim < 128 still occupies
+    # full lanes — size with the padded width.
     itemsize = jnp.dtype(q.dtype).itemsize
+    d_eff = _round_up(d, 128)
 
     def vmem_est(bb):
-        panes = 2 * 2 * bb * nk_pad * d * itemsize  # double-buffered k+v
-        qo = 2 * 2 * bb * tq * d * itemsize
+        panes = 2 * 2 * bb * nk_pad * d_eff * itemsize  # double-buffered k+v
+        qo = 2 * 2 * bb * tq * d_eff * itemsize
         scores = 3 * tq * nk_pad * 4
         return panes + qo + scores
 
     bb = bh
-    while bb > 1 and vmem_est(bb) > 28 * 1024 * 1024:
+    while bb > 1 and vmem_est(bb) > 64 * 1024 * 1024:
         bb = max(1, bb // 2)
     while bh % bb:
         bb -= 1
@@ -140,6 +144,176 @@ def _attention_fwd_pallas(q, k, v, sm_scale: float, interpret: bool = False):
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :n]
+
+
+def _kernel_biased(
+    q_ref, k_ref, v_ref, b_ref, s_ref, o_ref, *, n_pad_extra, cosine,
+    bb, g_size, n_groups
+):
+    # Same one-pass softmax as _kernel plus an additive bias block shared by
+    # every row of the grid step (grouped CPB bias + shift mask for Swin)
+    # and a per-group logit scale scalar (SwinV2's learned temperature).
+    # With cosine=True, q/k rows are L2-normalized in VMEM — SwinV2's
+    # cosine attention without the 5 host-side HBM passes (2 norms, scale,
+    # and their writebacks) the XLA prologue spent.
+    # The bias is zero-padded, so padded keys still contribute exactly
+    # exp(-m) to the denominator and the analytic correction holds.
+    bias = b_ref[0]
+    # the (G, 1) scale table rides whole in SMEM; pick this step's group
+    g = (pl.program_id(0) * bb // g_size) % n_groups
+    sc = s_ref[g, 0]
+    for i in range(q_ref.shape[0]):
+        if cosine:
+            qf = q_ref[i].astype(jnp.float32)
+            kf = k_ref[i].astype(jnp.float32)
+            qf = qf * jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(qf * qf, axis=-1, keepdims=True), 1e-24)
+            )
+            kf = kf * jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(kf * kf, axis=-1, keepdims=True), 1e-24)
+            )
+            q = (qf * sc).astype(q_ref.dtype)
+            k = kf.astype(k_ref.dtype)
+        else:
+            q = q_ref[i] * sc.astype(q_ref.dtype)
+            k = k_ref[i]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        z = jnp.sum(e, axis=-1, keepdims=True)
+        if n_pad_extra:
+            z = jnp.maximum(z - n_pad_extra * jnp.exp(-m), 1e-30)
+        o = jnp.dot(
+            e.astype(v_ref.dtype), v_ref[i], preferred_element_type=jnp.float32
+        )
+        o_ref[i] = (o / z).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g_size", "cosine", "interpret")
+)
+def _biased_fwd_pallas(q, k, v, bias, scale, g_size, cosine, interpret=False):
+    """Grouped-bias forward: row i of the folded (BH, N, D) batch uses bias
+    slice ((i // g_size) % G) and logit scale scale[(i // g_size) % G].
+    Fold order must place the group axis major and the g_size-sized shared
+    axis minor (Swin: (heads, windows, batch))."""
+    bh, n, d = q.shape
+    G = bias.shape[0]
+    if n <= 768 and n % 8 == 0:
+        # whole-window tile, no padding at all: Mosaic masks the ragged
+        # minor dim internally (576 beats a 640 pad by the full 23% extra
+        # score-matrix work the padding would cost)
+        nk_pad = nq_pad = tq = n
+    else:
+        nk_pad = _choose_nk_pad(n)
+        tq = nk_pad if nk_pad <= 768 else _choose_tile_q(n)
+        nq_pad = _round_up(n, tq)
+    itemsize = jnp.dtype(q.dtype).itemsize
+    d_eff = _round_up(d, 128)  # VMEM lane padding, see _attention_fwd_pallas
+
+    def vmem_est(bb):
+        panes = 2 * 2 * bb * nk_pad * d_eff * itemsize
+        qo = 2 * 2 * bb * tq * d_eff * itemsize
+        scores = 3 * tq * nk_pad * 4
+        bias_blk = 2 * tq * nk_pad * 4
+        return panes + qo + scores + bias_blk
+
+    bb = min(g_size, bh)
+    while bb > 1 and vmem_est(bb) > 64 * 1024 * 1024:
+        bb = max(1, bb // 2)
+    while g_size % bb or bh % bb:
+        bb -= 1
+
+    qp = jnp.pad(q, ((0, 0), (0, nq_pad - n), (0, 0))) if nq_pad != n else q
+    kp = jnp.pad(k, ((0, 0), (0, nk_pad - n), (0, 0))) if nk_pad != n else k
+    vp = jnp.pad(v, ((0, 0), (0, nk_pad - n), (0, 0))) if nk_pad != n else v
+    bp = jnp.pad(
+        bias.astype(jnp.float32),
+        ((0, 0), (0, nq_pad - n), (0, nk_pad - n)),
+    )
+    sp = scale.astype(jnp.float32).reshape(G, 1)
+
+    def group_idx(b, t, bb=bb, g_size=g_size, G=G):
+        return ((b * bb // g_size) % G, t, 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_biased, n_pad_extra=nk_pad - n, cosine=cosine,
+            bb=bb, g_size=g_size, n_groups=G,
+        ),
+        grid=(bh // bb, nq_pad // tq),
+        in_specs=[
+            pl.BlockSpec((bb, tq, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, nk_pad, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, nk_pad, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, nk_pad), group_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, tq, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * nq_pad * nk_pad * d,
+            bytes_accessed=4 * bh * n * d * itemsize + G * n * n * 4,
+            transcendentals=bh * nq_pad * nk_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bp, sp)
+    return out[:, :n]
+
+
+def _biased_reference(q, k, v, bias, scale, g_size, cosine):
+    bh = q.shape[0]
+    G = bias.shape[0]
+    gidx = (jnp.arange(bh) // g_size) % G
+    bias_full = bias[gidx]
+    scale_full = scale.reshape(G)[gidx][:, None, None]
+    if cosine:
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+    s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale_full + bias_full, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def biased_attention_fused(
+    q, k, v, bias, scale, g_size: int = 1, cosine: bool = False,
+    interpret: bool = False,
+):
+    """softmax(norm(q) @ norm(k)^T * scale_g + bias_g) @ v, fused.
+
+    q/k/v: (BH, N, D); bias: (G, N, N) f32; scale: (G,) or (G, 1) logit
+    scales; row i uses group (i // g_size) % G. cosine=True L2-normalizes
+    q/k rows in VMEM (SwinV2 cosine attention). Serves SwinV2's window
+    attention (fold order (heads, windows, batch), bias = CPB + shift
+    mask); reference swin towers / timm SwinTransformerV2."""
+    return _biased_fwd_pallas(q, k, v, bias, scale, g_size, cosine, interpret)
+
+
+def _bfwd(q, k, v, bias, scale, g_size, cosine, interpret):
+    return _biased_fwd_pallas(q, k, v, bias, scale, g_size, cosine, interpret), (
+        q, k, v, bias, scale,
+    )
+
+
+def _bbwd(g_size, cosine, interpret, res, g):
+    q, k, v, bias, scale = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, bias, scale: _biased_reference(
+            q, k, v, bias, scale, g_size, cosine
+        ),
+        q, k, v, bias, scale,
+    )
+    return vjp(g)
+
+
+biased_attention_fused.defvjp(_bfwd, _bbwd)
 
 
 def _attention_reference(q, k, v, sm_scale):
