@@ -15,6 +15,7 @@ tunnel/dispatch overhead.
 vs_baseline = measured QPS / per-chip share of the v5e-8 target.
 """
 import json
+import os
 import time
 
 import jax
@@ -201,6 +202,9 @@ def main():
             "host_pipeline_npy_img_per_sec": (
                 None if host_ips is None else round(host_ips, 1)
             ),
+            # the host pipeline saturates its cores (native C++ decode
+            # threads); on this 1-CPU bench host the number is core-bound
+            "host_cpus": os.cpu_count(),
             "kernel": kernel,
             "n_chips": n_chips,
             "platform": jax.devices()[0].platform,

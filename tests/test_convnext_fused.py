@@ -68,13 +68,13 @@ class TestConvNeXtFusedBlock:
         monkeypatch.setenv("XMIR_FUSED_MLP", "0")
         base = blk.apply(vb, xb)
         monkeypatch.setenv("XMIR_FUSED_MLP", "1")
-        real = cbp.convnext_mlp_grn_fused
+        real = cbp.convnext_block_fused
 
         def interp(*args, **kw):
             kw["interpret"] = True
             return real(*args, **kw)
 
-        monkeypatch.setattr(cbp, "convnext_mlp_grn_fused", interp)
+        monkeypatch.setattr(cbp, "convnext_block_fused", interp)
         fused = blk.apply(vb, xb)
         np.testing.assert_allclose(
             np.asarray(fused, np.float32), np.asarray(base, np.float32),

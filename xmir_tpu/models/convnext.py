@@ -15,6 +15,7 @@ import flax.linen as nn
 
 from .vit import DenseParams
 from .activations import adaptive_gelu
+import jax
 import jax.numpy as jnp
 
 
@@ -47,39 +48,74 @@ class _GRNParams(nn.Module):
 
 
 
+class _ConvDWParams(nn.Module):
+    """Raw 7x7 depthwise conv params with nn.Conv's tree/shapes/init —
+    the fused block kernel consumes the arrays directly."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 1, self.dim)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Raw LayerNorm scale/bias with nn.LayerNorm's param tree."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
 class ConvNeXtV2Block(nn.Module):
     dim: int
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.Conv(
-            self.dim,
-            (7, 7),
-            padding=3,
-            feature_group_count=self.dim,
-            name="dwconv",
-        )(x)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
-
+        dw_kernel, dw_bias = _ConvDWParams(self.dim, name="dwconv")()
+        ln_scale, ln_bias = _LNParams(self.dim, name="norm")()
         w1, b1 = DenseParams(4 * self.dim, name="pwconv1")(self.dim)
         w2, b2 = DenseParams(self.dim, name="pwconv2")(4 * self.dim)
         gamma, beta = _GRNParams(4 * self.dim, name="grn")()
 
         from ..ops.convnext_block_pallas import (
-            convnext_mlp_grn_fused,
+            convnext_block_fused,
             fused_mlp_enabled,
         )
 
         # the fused kernel has no VJP — inference only; training keeps the
         # differentiable XLA path
-        if fused_mlp_enabled(h.dtype) and not train:
-            b_, hh, ww, c = x.shape
-            out = convnext_mlp_grn_fused(
-                h.reshape(b_, hh * ww, c),
-                x.reshape(b_, hh * ww, c),
-                w1.astype(h.dtype), b1, w2.astype(h.dtype), b2, gamma, beta,
+        if fused_mlp_enabled(x.dtype) and not train:
+            return convnext_block_fused(
+                x, dw_kernel.reshape(7, 7, self.dim), dw_bias,
+                ln_scale, ln_bias,
+                w1.astype(x.dtype), b1, w2.astype(x.dtype), b2, gamma, beta,
             )
-            return out.reshape(b_, hh, ww, c)
+
+        # XLA path: exact nn.Conv/nn.LayerNorm math on the raw params
+        dt = jnp.promote_types(x.dtype, dw_kernel.dtype)
+        h = jax.lax.conv_general_dilated(
+            x.astype(dt), dw_kernel.astype(dt),
+            window_strides=(1, 1), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.dim,
+        ) + dw_bias.astype(dt)
+        # flax LayerNorm (fast variance, f32 statistics)
+        hs = h.astype(jnp.promote_types(jnp.float32, h.dtype))
+        mean = jnp.mean(hs, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(hs * hs, axis=-1, keepdims=True) - mean * mean, 0.0
+        )
+        h = (hs - mean) * jax.lax.rsqrt(var + 1e-6)
+        h = (h * ln_scale + ln_bias).astype(dt)
 
         h = h @ w1 + b1
         h = adaptive_gelu(h)
