@@ -102,6 +102,68 @@ class TestBackward:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+class TestGroupedBias:
+    """biased_attention_fused (the SwinV2 path): grouped CPB/shift-mask
+    bias, per-group logit scales, optional in-kernel cosine normalization."""
+
+    def _check(self, rng, bh, G, gs, n, d, cosine):
+        from xmir_tpu.ops.vit_attn_pallas import (
+            _biased_reference,
+            biased_attention_fused,
+        )
+
+        q = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((G, n, n)) * 3, jnp.float32)
+        sc = jnp.asarray(rng.random(G) + 0.2, jnp.float32)
+        out = biased_attention_fused(q, k, v, bias, sc, gs, cosine, True)
+        ref = _biased_reference(q, k, v, bias, sc, gs, cosine)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_shift_mask_groups(self, rng):
+        # (head, window) groups with the image batch minor — the masked
+        # Swin fold; n=144 pads to 256 (denominator correction active)
+        self._check(rng, bh=24, G=6, gs=4, n=144, d=32, cosine=False)
+
+    def test_cosine_with_per_head_scales(self, rng):
+        self._check(rng, bh=12, G=3, gs=4, n=130, d=16, cosine=True)
+
+    def test_whole_window_unpadded(self, rng):
+        # 576 = Swin window 24^2: exact whole-window tile, no padding
+        self._check(rng, bh=8, G=2, gs=4, n=576, d=32, cosine=True)
+
+    def test_group_wrap_modulo(self, rng):
+        # G < bh/gs: groups wrap modulo G (mask-less Swin fold)
+        self._check(rng, bh=16, G=2, gs=4, n=100, d=8, cosine=False)
+
+    def test_grads_flow(self, rng):
+        from xmir_tpu.ops.vit_attn_pallas import (
+            _biased_reference,
+            biased_attention_fused,
+        )
+
+        bh, G, gs, n, d = 8, 2, 4, 96, 16
+        q = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((G, n, n)), jnp.float32)
+        sc = jnp.asarray(rng.random(G) + 0.2, jnp.float32)
+
+        def f(q, bias, sc):
+            return jnp.sum(
+                biased_attention_fused(q, k, v, bias, sc, gs, True, True) ** 2
+            )
+
+        def fr(q, bias, sc):
+            return jnp.sum(_biased_reference(q, k, v, bias, sc, gs, True) ** 2)
+
+        g = jax.grad(f, argnums=(0, 1, 2))(q, bias, sc)
+        gr = jax.grad(fr, argnums=(0, 1, 2))(q, bias, sc)
+        for a, b in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 class TestModelDispatch:
     def test_vit_block_uses_kernel_under_flag(self, rng, monkeypatch):
         """The ViT tower's output with the fused path forced on (interpret

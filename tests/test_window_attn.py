@@ -83,13 +83,14 @@ class TestWindowAttentionFused:
                                    rtol=1e-4, atol=1e-5)
 
     def test_model_grouped_bias_kernel_matches_xla_path(self, rng, monkeypatch):
-        """Whole SwinV2 block through the round-2 grouped-bias single-pass
-        kernel (the default fused path) vs the XLA path."""
+        """Whole SwinV2 model through the round-2 grouped-bias single-pass
+        kernel (the default fused path) vs the XLA path — depths (2, 1)
+        so a shifted block exercises the masked (head, window) grouping."""
         import xmir_tpu.models.swin as swin_mod
         import xmir_tpu.ops.vit_attn_pallas as vap
         from xmir_tpu.models import SwinV2Backbone
 
-        m = SwinV2Backbone(embed_dim=16, depths=(1, 1), num_heads=(2, 4),
+        m = SwinV2Backbone(embed_dim=16, depths=(2, 1), num_heads=(2, 4),
                            window=4, pretrained_window=(4, 4))
         x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
         v = m.init(jax.random.PRNGKey(0), x)
