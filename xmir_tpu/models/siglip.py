@@ -32,17 +32,22 @@ class SiglipAttention(nn.Module):
         from ..ops.plain_attn import flash_attention_plain, plain_flash_enabled
 
         if not output_attentions and plain_flash_enabled(x.dtype, n):
-            # head-major projections (see models/vit.py): XLA folds the
-            # N<->H transpose into each matmul's output layout
-            def proj(name):
+            # one batched head-major projection: concatenate the three
+            # separate q/k/v kernels (a parameter-sized concat, free next
+            # to the activations) so a single wide matmul replaces three,
+            # with the N<->H transpose folded into its output layout
+            # (see models/vit.py)
+            ws, bs = [], []
+            for name in ("q_proj", "k_proj", "v_proj"):
                 w, bias = DenseParams(self.dim, True, name=name)(c)
-                dt = jnp.promote_types(x.dtype, w.dtype)
-                t = jnp.einsum(
-                    "bnc,chd->bhnd", x.astype(dt), w.astype(dt).reshape(c, h, hd)
-                )
-                return t + bias.reshape(1, h, 1, hd).astype(t.dtype)
-
-            q, k, v = proj("q_proj"), proj("k_proj"), proj("v_proj")
+                ws.append(w.reshape(c, 1, h, hd))
+                bs.append(bias.reshape(1, 1, h, 1, hd))
+            w3 = jnp.concatenate(ws, axis=1)  # (C, 3, H, hd)
+            b3 = jnp.concatenate(bs, axis=1)  # (1, 3, H, 1, hd)
+            dt = jnp.promote_types(x.dtype, w3.dtype)
+            qkv = jnp.einsum("bnc,cthd->bthnd", x.astype(dt), w3.astype(dt))
+            qkv = qkv + b3.astype(qkv.dtype)
+            q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
             out = flash_attention_plain(q, k, v, hd**-0.5)
             out = jnp.swapaxes(out, 1, 2).reshape(b, n, self.dim)
             return nn.Dense(self.dim, name="out_proj")(out), None

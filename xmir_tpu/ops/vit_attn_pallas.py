@@ -94,9 +94,13 @@ def _choose_nk_pad(n: int) -> int:
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
 def _attention_fwd_pallas(q, k, v, sm_scale: float, interpret: bool = False):
     bh, n, d = q.shape
-    tq = _choose_tile_q(n)
-    nq_pad = _round_up(n, tq)
-    nk_pad = _choose_nk_pad(n)
+    if n <= 768 and n % 8 == 0:
+        # one unpadded whole-sequence tile (see _biased_fwd_pallas)
+        nk_pad = nq_pad = tq = n
+    else:
+        nk_pad = _choose_nk_pad(n)
+        tq = nk_pad if nk_pad <= 768 else _choose_tile_q(n)
+        nq_pad = _round_up(n, tq)
 
     # fold as many heads per grid step as a ~64MB working set allows (of the
     # 96MB scoped limit; the rest covers kernel intermediates). VMEM lays
