@@ -67,6 +67,13 @@ def bench_search(on_tpu: bool):
     if on_tpu:
         search = lambda q, g: fused_topk(q, g, K, metric="ip", tile_q=512, tile_g=2048)
         kernel = "pallas_fused"
+        try:  # probe one Mosaic compile; fall back to XLA if the tunnel's
+            # remote kernel-compile helper is unavailable so the driver
+            # still records a (slower) number instead of nothing
+            jax.block_until_ready(search(queries[:8], gallery[:4096]))
+        except Exception:
+            search = lambda q, g: tiled_topk(q, g, K, tile=8192, metric="ip")
+            kernel = "xla_tiled_fallback"
     else:
         search = lambda q, g: tiled_topk(q, g, K, tile=8192, metric="ip")
         kernel = "xla_tiled"
