@@ -52,6 +52,16 @@ class TestForward:
         )
         _check(q, k, v, 32**-0.5)
 
+    def test_whole_tile_boundary(self, rng):
+        # 728 is 8-aligned (one unpadded whole-sequence tile); 729 is not
+        # (128-rounded tile with the denominator correction active)
+        for n in (728, 729):
+            q, k, v = (
+                jnp.asarray(rng.standard_normal((1, n, 16)), jnp.float32)
+                for _ in range(3)
+            )
+            _check(q, k, v, 0.25)
+
     def test_non_pow2_head_dim(self, rng):
         # MedSigLIP head_dim 72
         q, k, v = (
