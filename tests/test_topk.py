@@ -231,6 +231,24 @@ class TestPrunedAlgorithm:
                 interpret=True, algorithm="pruned",
             )
 
+    def test_vmem_clamp_preserves_lane_chunk_invariant(self, rng):
+        # a user tile_g of 1920 (15*128) with d=2048 exceeds the pruned VMEM
+        # budget at tile_q=512 and halves to 960 — NOT a multiple of 128.
+        # The clamp must re-round to 896 so the chunk scan covers every
+        # column; before the fix the ragged 64 trailing columns of each tile
+        # were silently dropped (wrong top-K, no error).
+        q = rng.standard_normal((4, 2048)).astype(np.float32)
+        g = rng.standard_normal((2000, 2048)).astype(np.float32) * 0.01
+        # plant the best hits inside what would be the dropped tail columns
+        for h in (950, 1910):
+            g[h] = q[h % 4] * 5.0
+        vals, idxs = fused_topk(
+            jnp.asarray(q), jnp.asarray(g), k=4, metric="ip",
+            tile_q=512, tile_g=1920, interpret=True, algorithm="pruned",
+        )
+        bv, bi = brute_topk(q, g, 4, "ip")
+        np.testing.assert_array_equal(np.asarray(idxs), bi)
+
     def test_auto_selects_merge_for_large_k(self, rng):
         q = rng.standard_normal((2, 16)).astype(np.float32)
         g = rng.standard_normal((300, 16)).astype(np.float32)

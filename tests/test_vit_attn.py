@@ -133,8 +133,10 @@ class TestGroupedBias:
 
     def test_shift_mask_groups(self, rng):
         # (head, window) groups with the image batch minor — the masked
-        # Swin fold; n=144 pads to 256 (denominator correction active)
-        self._check(rng, bh=24, G=6, gs=4, n=144, d=32, cosine=False)
+        # Swin fold; n=140 is not 8-aligned, so it takes the padded branch
+        # (pads to 256) and the denominator correction runs together with
+        # the grouped bias
+        self._check(rng, bh=24, G=6, gs=4, n=140, d=32, cosine=False)
 
     def test_cosine_with_per_head_scales(self, rng):
         self._check(rng, bh=12, G=3, gs=4, n=130, d=16, cosine=True)

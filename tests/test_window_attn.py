@@ -141,3 +141,14 @@ class TestPlainFlashGating:
         assert plain_attn.plain_flash_enabled(jnp.bfloat16, 1370)
         # f32 keeps the XLA einsum path for converted-checkpoint parity
         assert not plain_attn.plain_flash_enabled(jnp.float32, 1024)
+
+    def test_vmem_ceiling_blocks_oversized_sequences(self, monkeypatch):
+        # beyond ~12k keys the f32 score tiles cannot fit scoped VMEM even
+        # at batch fold 1 — the gate must refuse rather than fail compile,
+        # including under the env force
+        from xmir_tpu.ops import plain_attn
+
+        monkeypatch.setattr(plain_attn.jax, "default_backend", lambda: "tpu")
+        assert not plain_attn.plain_flash_enabled(jnp.bfloat16, 20000)
+        monkeypatch.setenv("XMIR_FLASH_ATTN", "1")
+        assert not plain_attn.plain_flash_enabled(jnp.bfloat16, 20000)

@@ -14,6 +14,12 @@ the reference semantics exactly:
   run_session conf/iou gates        inference.py:318-340
   8 TTA variants + box reversal     inference.py:89-147,361-385
   fold x TTA -> WBF merge           inference.py:437-492
+
+Attribution: the decode/NMS/coordinate block below is a deliberate NumPy
+port of the reference's ultralytics-lineage YOLO decode
+(ChestMIR/utils/inference.py:100-273, itself standard YOLOv5 boilerplate) —
+bit-exact decode semantics are the parity contract here, so the algorithm
+is reproduced rather than re-designed.
 """
 from __future__ import annotations
 

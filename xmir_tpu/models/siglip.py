@@ -31,30 +31,39 @@ class SiglipAttention(nn.Module):
         from .vit import DenseParams
         from ..ops.plain_attn import flash_attention_plain, plain_flash_enabled
 
-        if not output_attentions and plain_flash_enabled(x.dtype, n):
+        ws, bs = [], []
+        for name in ("q_proj", "k_proj", "v_proj"):
+            w, bias = DenseParams(self.dim, True, name=name)(c)
+            ws.append(w)
+            bs.append(bias)
+        # nn.Dense promote_dtype semantics: compute in the widest of x/w,
+        # and gate the kernel on that promoted dtype (f32 params over bf16
+        # activations keep the XLA path for checkpoint parity, as vit.py)
+        dt = jnp.promote_types(x.dtype, ws[0].dtype)
+        x = x.astype(dt)
+
+        if not output_attentions and plain_flash_enabled(dt, n):
             # one batched head-major projection: concatenate the three
             # separate q/k/v kernels (a parameter-sized concat, free next
             # to the activations) so a single wide matmul replaces three,
             # with the N<->H transpose folded into its output layout
             # (see models/vit.py)
-            ws, bs = [], []
-            for name in ("q_proj", "k_proj", "v_proj"):
-                w, bias = DenseParams(self.dim, True, name=name)(c)
-                ws.append(w.reshape(c, 1, h, hd))
-                bs.append(bias.reshape(1, 1, h, 1, hd))
-            w3 = jnp.concatenate(ws, axis=1)  # (C, 3, H, hd)
-            b3 = jnp.concatenate(bs, axis=1)  # (1, 3, H, 1, hd)
-            dt = jnp.promote_types(x.dtype, w3.dtype)
-            qkv = jnp.einsum("bnc,cthd->bthnd", x.astype(dt), w3.astype(dt))
+            w3 = jnp.concatenate(
+                [w.astype(dt).reshape(c, 1, h, hd) for w in ws], axis=1
+            )  # (C, 3, H, hd)
+            b3 = jnp.concatenate(
+                [bias.reshape(1, 1, h, 1, hd) for bias in bs], axis=1
+            )  # (1, 3, H, 1, hd)
+            qkv = jnp.einsum("bnc,cthd->bthnd", x, w3)
             qkv = qkv + b3.astype(qkv.dtype)
             q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
             out = flash_attention_plain(q, k, v, hd**-0.5)
             out = jnp.swapaxes(out, 1, 2).reshape(b, n, self.dim)
             return nn.Dense(self.dim, name="out_proj")(out), None
 
-        q = nn.Dense(self.dim, name="q_proj")(x)
-        k = nn.Dense(self.dim, name="k_proj")(x)
-        v = nn.Dense(self.dim, name="v_proj")(x)
+        q = x @ ws[0].astype(dt) + bs[0].astype(dt)
+        k = x @ ws[1].astype(dt) + bs[1].astype(dt)
+        v = x @ ws[2].astype(dt) + bs[2].astype(dt)
 
         def split(t):
             return jnp.swapaxes(t.reshape(b, n, self.num_heads, hd), 1, 2)

@@ -76,9 +76,18 @@ def flash_attention_plain(q, k, v, sm_scale: float):
     return out.reshape(b, h, n, d)
 
 
+# beyond this sequence length the single-pass kernel's f32 (tile_q, n_pad)
+# score tiles overflow the 96MB scoped-VMEM limit even at batch fold 1
+# (~7.2KB/key at tile_q=512); such shapes must take the XLA path. Model-zoo
+# max is n=1370, so this is purely a safety ceiling.
+_SINGLE_PASS_MAX_N = 12288
+
+
 def plain_flash_enabled(dtype, n: int = 256) -> bool:
     flag = os.environ.get("XMIR_FLASH_ATTN", "")
     if flag == "0":
+        return False
+    if n > _SINGLE_PASS_MAX_N:
         return False
     if flag == "1":
         return True

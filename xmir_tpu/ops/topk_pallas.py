@@ -275,6 +275,11 @@ def fused_topk_scores(
     budget = 40 * 1024 * 1024 if algorithm == "pruned" else 14 * 1024 * 1024
     while tile_g > 128 and vmem_bytes(tile_q, tile_g) > budget:
         tile_g //= 2
+    if algorithm == "pruned" and tile_g % 128 != 0:
+        # the halving clamp can break the pruned kernel's 128-lane chunk
+        # invariant (e.g. a user tile_g of 384 -> 192); re-round down so no
+        # ragged trailing columns are silently skipped by the chunk scan
+        tile_g = max(128, (tile_g // 128) * 128)
     while tile_q > 8 and vmem_bytes(tile_q, tile_g) > budget:
         tile_q //= 2
 

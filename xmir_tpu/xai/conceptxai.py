@@ -198,10 +198,6 @@ def render_retrieval_explanation(
     _row(0, np.asarray(query_image),
          f"Query: {explanation['query_id']}",
          explanation["query_top_concepts"], explanation["query_attention"])
-    shared_all = {
-        c["name"]
-        for r in explanation["retrieved"] for c in r["top_concepts"]
-    }
     for k, r in enumerate(explanation["retrieved"]):
         concepts = [
             dict(c, shared=c["name"] in {
@@ -212,7 +208,6 @@ def render_retrieval_explanation(
         _row(k + 1, np.asarray(retrieved_images[k]),
              f"#{k + 1}: {r['id']} (sim {r['similarity']:.3f})",
              concepts, explanation["retrieved_attention"][k])
-    del shared_all
     fig.tight_layout()
     fig.savefig(output_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
