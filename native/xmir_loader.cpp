@@ -197,7 +197,10 @@ void gather_rgb(const T* s, float* dst, int64_t n, bool chw) {
 }
 
 // Load one npy, normalize, resize, write (out_h, out_w, 3) uint8 RGB.
-int load_one(const char* path, uint8_t* out, int out_h, int out_w) {
+// aspect_crop != 0: torchvision Resize(short_side=out_h)+CenterCrop(out_h)
+// semantics instead of a square squash (out_h must equal out_w).
+int load_one(const char* path, uint8_t* out, int out_h, int out_w,
+             int aspect_crop = 0) {
   NpyArray arr;
   if (!parse_npy(path, &arr)) return -1;
   int64_t h, w, c = 1;
@@ -275,12 +278,32 @@ int load_one(const char* path, uint8_t* out, int out_h, int out_w) {
       default: return -3;
     }
   }
-  std::vector<uint8_t> resized((size_t)out_h * out_w);
-  resize_bilinear_gray(gray.data(), (int)h, (int)w, resized.data(), out_h, out_w);
-  for (int64_t i = 0; i < (int64_t)out_h * out_w; i++) {
-    out[i * 3 + 0] = resized[i];
-    out[i * 3 + 1] = resized[i];
-    out[i * 3 + 2] = resized[i];
+  int nh = out_h, nw = out_w, top = 0, left = 0;
+  if (aspect_crop) {
+    // torchvision _compute_resized_output_size: short side -> S, long side
+    // int(S * long / short) with Python float-division truncation; then
+    // CenterCrop's int(round((n - S) / 2.0)) (nearest-even like Python)
+    int S = out_h;
+    if (h <= w) {
+      nh = S;
+      nw = (int)((double)S * (double)w / (double)h);
+    } else {
+      nw = S;
+      nh = (int)((double)S * (double)h / (double)w);
+    }
+    top = (int)std::nearbyint((double)(nh - S) / 2.0);
+    left = (int)std::nearbyint((double)(nw - S) / 2.0);
+  }
+  std::vector<uint8_t> resized((size_t)nh * nw);
+  resize_bilinear_gray(gray.data(), (int)h, (int)w, resized.data(), nh, nw);
+  for (int64_t oy = 0; oy < out_h; oy++) {
+    const uint8_t* row = resized.data() + (size_t)(oy + top) * nw + left;
+    uint8_t* dst = out + (size_t)oy * out_w * 3;
+    for (int64_t ox = 0; ox < out_w; ox++) {
+      dst[ox * 3 + 0] = row[ox];
+      dst[ox * 3 + 1] = row[ox];
+      dst[ox * 3 + 2] = row[ox];
+    }
   }
   return 0;
 }
@@ -297,8 +320,9 @@ int xmir_load_npy(const char* path, uint8_t* out, int out_h, int out_w) {
 // Load a batch of files in parallel. paths: array of C strings; out: one
 // (out_h, out_w, 3) uint8 buffer per file, contiguous. status: per-file
 // return codes. Returns number of failures.
-int xmir_load_npy_batch(const char** paths, int n_files, uint8_t* out,
-                        int out_h, int out_w, int n_threads, int* status) {
+static int batch_load(const char** paths, int n_files, uint8_t* out,
+                      int out_h, int out_w, int n_threads, int* status,
+                      int aspect_crop) {
   if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
   n_threads = std::max(1, std::min(n_threads, n_files));
   std::atomic<int> next(0);
@@ -308,7 +332,7 @@ int xmir_load_npy_batch(const char** paths, int n_files, uint8_t* out,
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n_files) break;
-      int rc = load_one(paths[i], out + item * i, out_h, out_w);
+      int rc = load_one(paths[i], out + item * i, out_h, out_w, aspect_crop);
       if (status) status[i] = rc;
       if (rc != 0) failures.fetch_add(1);
     }
@@ -319,6 +343,23 @@ int xmir_load_npy_batch(const char** paths, int n_files, uint8_t* out,
   return failures.load();
 }
 
-int xmir_loader_version() { return 1; }
+int xmir_load_npy_batch(const char** paths, int n_files, uint8_t* out,
+                        int out_h, int out_w, int n_threads, int* status) {
+  return batch_load(paths, n_files, out, out_h, out_w, n_threads, status, 0);
+}
+
+// Aspect-preserving variants: Resize(short=size) + CenterCrop(size), the
+// reference's 224/DINOv2/NIH eval transform shape (test.py:1330-1333,
+// nih_multilabel_retrieval.py:48-61).
+int xmir_load_npy_crop(const char* path, uint8_t* out, int size) {
+  return load_one(path, out, size, size, 1);
+}
+
+int xmir_load_npy_batch_crop(const char** paths, int n_files, uint8_t* out,
+                             int size, int n_threads, int* status) {
+  return batch_load(paths, n_files, out, size, size, n_threads, status, 1);
+}
+
+int xmir_loader_version() { return 2; }
 
 }  // extern "C"

@@ -100,6 +100,19 @@ class TestSingleDevice:
             np.asarray(ranks), np.argsort(-bs, axis=1, kind="stable")
         )
 
+    def test_full_ranking_is_device_resident(self, data):
+        """After build(), full_ranking must use the device copy — never the
+        host staging lists (no per-call H2D gallery re-upload)."""
+        q, g, labels, paths = data
+        idx = ShardedGalleryIndex(64)
+        idx.add(g, labels, paths)
+        idx.build()
+        expect_s, expect_r = idx.full_ranking(q[:2])
+        idx._staged = None  # poison host staging: any touch now raises
+        s, ranks = idx.full_ranking(q[:2])
+        np.testing.assert_array_equal(np.asarray(ranks), np.asarray(expect_r))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(expect_s))
+
 
 class TestShardedSearch:
     def test_matches_single_device_8way(self, data):

@@ -408,6 +408,37 @@ class NIHChestXrayRetrievalDataset(_BaseDataset):
             [self.load_image_resized(i, out_h, out_w) for i in indices]
         )
 
+    def load_image_cropped(self, index, size: int):
+        """Aspect-preserving Resize(short=size)+CenterCrop(size) — the
+        reference NIH val transform (nih_multilabel_retrieval.py:48-61)."""
+        if self.use_native:
+            from . import native_loader
+
+            if native_loader.available():
+                try:
+                    return native_loader.load_npy_image_crop(
+                        self.image_names[index], size
+                    )
+                except ValueError:
+                    pass
+        from .transforms import pil_resize_center_crop
+
+        return pil_resize_center_crop(self.load_image(index), size)
+
+    def load_batch_cropped(self, indices, size: int, n_threads=0):
+        """Parallel aspect-preserving native batch load."""
+        if self.use_native:
+            from . import native_loader
+
+            if native_loader.available():
+                try:
+                    return native_loader.load_npy_batch_crop(
+                        [self.image_names[i] for i in indices], size, n_threads
+                    )
+                except ValueError:
+                    pass
+        return np.stack([self.load_image_cropped(i, size) for i in indices])
+
 
 # ---------------------------------------------------------------------------
 # split utilities (reference split_dataset.py:1-81)

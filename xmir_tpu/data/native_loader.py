@@ -60,6 +60,16 @@ def get_lib():
             ctypes.c_int, ctypes.POINTER(ctypes.c_int),
         ]
         lib.xmir_load_npy_batch.restype = ctypes.c_int
+        lib.xmir_load_npy_crop.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+        lib.xmir_load_npy_crop.restype = ctypes.c_int
+        lib.xmir_load_npy_batch_crop.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.xmir_load_npy_batch_crop.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -97,6 +107,42 @@ def load_npy_batch(
     failures = lib.xmir_load_npy_batch(
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_h, out_w, n_threads, status,
+    )
+    if failures:
+        bad = [paths[i] for i in range(n) if status[i] != 0]
+        raise ValueError(f"native batch load: {failures} failures, e.g. {bad[:3]}")
+    return out
+
+
+def load_npy_image_crop(path: str, size: int) -> np.ndarray:
+    """Aspect-preserving Resize(short=size)+CenterCrop(size) ->
+    (size, size, 3) uint8 (torchvision eval-transform semantics)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    out = np.empty((size, size, 3), np.uint8)
+    rc = lib.xmir_load_npy_crop(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), size
+    )
+    if rc != 0:
+        raise ValueError(f"native npy load failed ({rc}): {path}")
+    return out
+
+
+def load_npy_batch_crop(
+    paths: Sequence[str], size: int, n_threads: int = 0
+) -> np.ndarray:
+    """Parallel aspect-preserving batch load -> (N, size, size, 3) uint8."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    n = len(paths)
+    out = np.empty((n, size, size, 3), np.uint8)
+    status = (ctypes.c_int * n)()
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failures = lib.xmir_load_npy_batch_crop(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        size, n_threads, status,
     )
     if failures:
         bad = [paths[i] for i in range(n) if status[i] != 0]

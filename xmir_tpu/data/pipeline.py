@@ -19,15 +19,15 @@ import numpy as np
 
 
 def _decode_batch(dataset, indices: Sequence[int], image_size: Optional[int],
-                  skip_errors: bool = False):
-    from PIL import Image
+                  skip_errors: bool = False, interpolation: str = "bilinear"):
+    from .transforms import pil_resize_center_crop
 
-    if image_size is not None and hasattr(dataset, "load_batch_resized"):
-        # native C++ batch path (NIH .npy fast path)
+    if image_size is not None and hasattr(dataset, "load_batch_cropped"):
+        # native C++ batch path (NIH .npy fast path) — aspect-preserving
+        # Resize(short=image_size)+CenterCrop(image_size), matching the
+        # reference eval transforms (nih_multilabel_retrieval.py:48-61)
         try:
-            imgs_arr = dataset.load_batch_resized(
-                list(indices), image_size, image_size
-            )
+            imgs_arr = dataset.load_batch_cropped(list(indices), image_size)
             labels = np.asarray([dataset.labels[i] for i in indices])
             return imgs_arr, labels, np.asarray(indices)
         except ValueError:
@@ -47,10 +47,10 @@ def _decode_batch(dataset, indices: Sequence[int], image_size: Optional[int],
             print(f">> skipping unreadable item {i}: {type(e).__name__}")
             continue
         if image_size is not None and arr.shape[:2] != (image_size, image_size):
-            arr = np.asarray(
-                Image.fromarray(arr).resize((image_size, image_size), Image.BILINEAR),
-                dtype=np.uint8,
-            )
+            # aspect-preserving short-side resize + center crop (torchvision
+            # Resize(int)+CenterCrop semantics, test.py:1330-1333) — NOT a
+            # square squash, which distorted non-square sources
+            arr = pil_resize_center_crop(arr, image_size, interpolation)
         imgs.append(arr)
         kept.append(i)
     if not imgs:
@@ -73,6 +73,7 @@ def batch_iterator(
     num_workers: int = 8,
     drop_last: bool = False,
     skip_errors: bool = False,
+    interpolation: str = "bilinear",
 ) -> Iterator[tuple]:
     """Yield (uint8 images (B, S, S, 3), labels, indices) with parallel decode.
 
@@ -96,7 +97,9 @@ def batch_iterator(
     window = max(2 * num_workers, 2)
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         pending = deque(
-            pool.submit(_decode_batch, dataset, b, image_size, skip_errors)
+            pool.submit(
+                _decode_batch, dataset, b, image_size, skip_errors, interpolation
+            )
             for b in batches[:window]
         )
         next_batch = window
@@ -107,7 +110,7 @@ def batch_iterator(
                 pending.append(
                     pool.submit(
                         _decode_batch, dataset, batches[next_batch],
-                        image_size, skip_errors,
+                        image_size, skip_errors, interpolation,
                     )
                 )
                 next_batch += 1
@@ -183,16 +186,20 @@ def embed_dataset(
         )
 
     host_size = spec.resize_size
+    method = getattr(spec, "interpolation", "bilinear")
     embeds, labels = [], []
     for imgs, labs, idxs in batch_iterator(
         dataset, batch_size, image_size=host_size, num_workers=num_workers,
-        skip_errors=skip_errors,
+        skip_errors=skip_errors, interpolation=method,
     ):
         real = imgs.shape[0]
         if real < batch_size:
             pad = batch_size - real
             imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
-        x = eval_preprocess(imgs, spec.resize_size, spec.input_size, spec.mean, spec.std)
+        x = eval_preprocess(
+            imgs, spec.resize_size, spec.input_size, spec.mean, spec.std,
+            method=method,
+        )
         if mesh is not None:
             import jax as _jax
 

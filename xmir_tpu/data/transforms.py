@@ -17,17 +17,50 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def resize_short_side(img: jnp.ndarray, size: int) -> jnp.ndarray:
-    """torchvision Resize(int): short side -> size, aspect preserved."""
-    h, w = img.shape[-3], img.shape[-2]
+def _resized_output_size(h: int, w: int, size: int):
+    """torchvision _compute_resized_output_size: short side -> size, long
+    side int(size * long / short) (Python float-division truncation)."""
     if h <= w:
-        nh, nw = size, max(1, int(round(w * size / h)))
-    else:
-        nh, nw = max(1, int(round(h * size / w))), size
+        return size, max(1, int(size * w / h))
+    return max(1, int(size * h / w)), size
+
+
+def resize_short_side(img: jnp.ndarray, size: int, method: str = "bilinear") -> jnp.ndarray:
+    """torchvision Resize(int): short side -> size, aspect preserved.
+    method: 'bilinear' or 'bicubic' (timm's DINOv2 eval config)."""
+    h, w = img.shape[-3], img.shape[-2]
+    nh, nw = _resized_output_size(h, w, size)
     shape = img.shape[:-3] + (nh, nw, img.shape[-1])
-    return jax.image.resize(img, shape, "bilinear", antialias=True)
+    jax_method = {"bilinear": "bilinear", "bicubic": "cubic"}[method]
+    return jax.image.resize(img, shape, jax_method, antialias=True)
+
+
+def pil_resize_center_crop(arr, size: int, method: str = "bilinear"):
+    """HOST-side torchvision-exact Resize(short=size)+CenterCrop(size) on a
+    uint8 HWC array via PIL (torchvision's PIL backend delegates to exactly
+    these PIL calls; reference eval transforms test.py:1330-1333,
+    nih_multilabel_retrieval.py:48-61). Returns (size, size, 3) uint8."""
+    from PIL import Image
+
+    resample = {
+        "bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC,
+    }[method]
+    img = Image.fromarray(arr)
+    w, h = img.size
+    nh, nw = _resized_output_size(h, w, size)
+    if (nh, nw) != (h, w):
+        img = img.resize((nw, nh), resample)
+    # torchvision CenterCrop: int(round((n - size) / 2.)) (nearest-even)
+    top = int(np.round((nh - size) / 2.0)) if nh > size else 0
+    left = int(np.round((nw - size) / 2.0)) if nw > size else 0
+    img = img.crop((left, top, left + size, top + size))
+    out = np.asarray(img, np.uint8)
+    if out.ndim == 2:
+        out = np.repeat(out[..., None], 3, axis=2)
+    return out
 
 
 def center_crop(img: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -53,18 +86,24 @@ def normalize(img: jnp.ndarray, mean, std) -> jnp.ndarray:
     return (img.astype(jnp.float32) / 255.0 - mean) / std
 
 
-@functools.partial(jax.jit, static_argnames=("resize_size", "crop_size", "mean", "std"))
-def eval_preprocess(batch_u8, resize_size: int, crop_size: int, mean, std):
+@functools.partial(
+    jax.jit, static_argnames=("resize_size", "crop_size", "mean", "std", "method")
+)
+def eval_preprocess(batch_u8, resize_size: int, crop_size: int, mean, std,
+                    method: str = "bilinear"):
     """Validation pipeline: Resize(short) -> CenterCrop -> Normalize.
     batch_u8: (B, H, W, 3) uint8 (uniform decoded size per batch)."""
-    x = resize_short_side(batch_u8.astype(jnp.float32), resize_size)
+    x = resize_short_side(batch_u8.astype(jnp.float32), resize_size, method)
     x = center_crop(x, crop_size)
     return normalize(x, mean, std)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("resize_size", "crop_size", "mean", "std", "rand_resize", "jitter"),
+    static_argnames=(
+        "resize_size", "crop_size", "mean", "std", "rand_resize", "jitter",
+        "method",
+    ),
 )
 def train_preprocess(
     rng,
@@ -75,12 +114,13 @@ def train_preprocess(
     std,
     rand_resize: bool = False,
     jitter: bool = True,
+    method: str = "bilinear",
 ):
     """Training pipeline (reference train.py:952-983): Resize -> (RandomCrop
     pad4 | CenterCrop) -> RandomHorizontalFlip -> ColorJitter(0.1, 0.1) ->
     Normalize, vectorized over the batch with per-sample RNG."""
     b = batch_u8.shape[0]
-    x = resize_short_side(batch_u8.astype(jnp.float32), resize_size)
+    x = resize_short_side(batch_u8.astype(jnp.float32), resize_size, method)
     k_crop, k_flip, k_bright, k_contrast = jax.random.split(rng, 4)
 
     if rand_resize:
@@ -115,14 +155,17 @@ def train_preprocess(
 
 
 def preprocess_for_spec(batch_u8, spec, train: bool = False, rng=None, rand_resize=False):
-    """Apply the registry ModelSpec's transform (sizes + normalization)."""
+    """Apply the registry ModelSpec's transform (sizes + normalization +
+    interpolation)."""
+    method = getattr(spec, "interpolation", "bilinear")
     if train:
         if rng is None:
             raise ValueError("train preprocessing needs an rng key")
         return train_preprocess(
             rng, batch_u8, spec.resize_size, spec.input_size, spec.mean, spec.std,
-            rand_resize=rand_resize,
+            rand_resize=rand_resize, method=method,
         )
     return eval_preprocess(
-        batch_u8, spec.resize_size, spec.input_size, spec.mean, spec.std
+        batch_u8, spec.resize_size, spec.input_size, spec.mean, spec.std,
+        method=method,
     )

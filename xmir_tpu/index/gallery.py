@@ -206,12 +206,33 @@ class ShardedGalleryIndex:
 
     def full_ranking(self, queries):
         """(Q, N) scores + ranks — the reference's top_k=0 full-gallery mode
-        (query_nih_zilliz.py:53). Materializes O(Q*N)."""
+        (query_nih_zilliz.py:53). Materializes O(Q*N).
+
+        Runs against the BUILT device copy — no host re-staging or H2D
+        re-upload per call. Under a mesh the (Q, N) score product is computed
+        shard-local over the data axis (each device scores its own gallery
+        rows) and only then concatenated column-wise for the argsort."""
+        from ..ops.distance import scores as score_fn
         from ..ops.topk import full_ranking
 
         self._require_built()
-        host = jnp.asarray(np.concatenate(self._staged, axis=0), self.dtype)
-        return full_ranking(jnp.asarray(queries, self.dtype), host, self.metric)
+        q = jnp.asarray(queries, self.dtype)
+        if self._mesh is None:
+            return full_ranking(q, self._device_embeds, self.metric)
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        metric = self.metric
+        f = shard_map(
+            lambda qq, g_shard: score_fn(qq, g_shard, metric),
+            mesh=self._mesh,
+            in_specs=(P(), P(DATA_AXIS, None)),
+            out_specs=P(None, DATA_AXIS),
+        )
+        s = f(q, self._device_embeds)[:, : self._n]  # drop shard padding
+        ranks = jnp.argsort(-s, axis=1, stable=True)
+        return s, ranks
 
     def search_with_metadata(self, queries, k: int):
         """MilvusRetriever.search-compatible results

@@ -152,12 +152,18 @@ class DinoV2Embedder(nn.Module):
 
     embedding_dim: Optional[int] = None
     img_size: int = 518
+    # backbone width/depth overrides (ViT-B/14 defaults; smaller configs for
+    # tests and multichip dryruns)
+    dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
 
     @nn.compact
     def __call__(self, x, train: bool = False, output_attentions: bool = False):
-        out = ViTBackbone(img_size=self.img_size, name="backbone")(
-            x, train, output_attentions
-        )
+        out = ViTBackbone(
+            img_size=self.img_size, dim=self.dim, depth=self.depth,
+            num_heads=self.num_heads, name="backbone",
+        )(x, train, output_attentions)
         feat = out["cls"]
         if self.embedding_dim:
             feat = nn.Dense(self.embedding_dim, name="fc")(feat)

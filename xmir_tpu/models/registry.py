@@ -25,6 +25,9 @@ class ModelSpec:
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
     kwargs: tuple = ()  # default builder kwargs as sorted (k, v) pairs
+    # resize interpolation; timm's DINOv2 eval config uses bicubic, every
+    # other reference transform torchvision-default bilinear
+    interpolation: str = "bilinear"
 
 
 def _specs():
@@ -69,7 +72,9 @@ def _specs():
             kwargs=(("rad_dino_norm", True),),
         ),
         "swinv2": ModelSpec("swinv2", SwinV2Embedder, 384, 432, 1024),
-        "dinov2": ModelSpec("dinov2", DinoV2Embedder, 518, 518, 768),
+        "dinov2": ModelSpec(
+            "dinov2", DinoV2Embedder, 518, 518, 768, interpolation="bicubic"
+        ),
         "medsiglip": ModelSpec(
             "medsiglip", MedSigLIPEmbedder, 448, 512, 512, SIGLIP_MEAN, SIGLIP_STD
         ),

@@ -102,21 +102,24 @@ def _attention_fwd_pallas(q, k, v, sm_scale: float, interpret: bool = False):
         tq = nk_pad if nk_pad <= 768 else _choose_tile_q(n)
         nq_pad = _round_up(n, tq)
 
-    # fold as many heads per grid step as a ~64MB working set allows (of the
-    # 96MB scoped limit; the rest covers kernel intermediates). VMEM lays
-    # the minor dim out in 128-lane tiles, so head_dim < 128 still occupies
-    # full lanes — size with the padded width.
+    # fold as many heads per grid step as the scoped-VMEM limit allows. VMEM
+    # lays the minor dim out in 128-lane tiles, so head_dim < 128 still
+    # occupies full lanes — size with the padded width. The in-kernel head
+    # loop is unrolled: Mosaic allocates the f32 score/exp intermediates of
+    # every unrolled iteration SIMULTANEOUSLY (observed with the 2026-08
+    # libtpu: 24 folded heads on the DINOv2 shape wanted 106MB of the 96MB
+    # scoped limit), so the (tq, nk) f32 temporaries are charged per row.
     itemsize = jnp.dtype(q.dtype).itemsize
     d_eff = _round_up(d, 128)
 
     def vmem_est(bb):
         panes = 2 * 2 * bb * nk_pad * d_eff * itemsize  # double-buffered k+v
         qo = 2 * 2 * bb * tq * d_eff * itemsize
-        scores = 3 * tq * nk_pad * 4
+        scores = 3 * tq * nk_pad * 4 * bb  # per unrolled head: s, e, dot out
         return panes + qo + scores
 
     bb = bh
-    while bb > 1 and vmem_est(bb) > 64 * 1024 * 1024:
+    while bb > 1 and vmem_est(bb) > 80 * 1024 * 1024:
         bb = max(1, bb // 2)
     while bh % bb:
         bb -= 1
@@ -219,12 +222,12 @@ def _biased_fwd_pallas(q, k, v, bias, scale, g_size, cosine, interpret=False):
     def vmem_est(bb):
         panes = 2 * 2 * bb * nk_pad * d_eff * itemsize
         qo = 2 * 2 * bb * tq * d_eff * itemsize
-        scores = 3 * tq * nk_pad * 4
+        scores = 3 * tq * nk_pad * 4 * bb  # unrolled rows alloc simultaneously
         bias_blk = 2 * tq * nk_pad * 4
         return panes + qo + scores + bias_blk
 
     bb = min(g_size, bh)
-    while bb > 1 and vmem_est(bb) > 64 * 1024 * 1024:
+    while bb > 1 and vmem_est(bb) > 80 * 1024 * 1024:
         bb = max(1, bb // 2)
     while g_size % bb or bh % bb:
         bb -= 1
