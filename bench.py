@@ -148,6 +148,41 @@ def bench_search_bf16():
     return QUERY_BATCH / dt
 
 
+def bench_host_cached(n_files: int = 2048, size: int = 224):
+    """Cached-path host throughput: decode-once uint8 memmap artifact served
+    by DecodedCache (data/cache.py) — the repeated-pass ingest/eval path."""
+    import tempfile
+
+    from xmir_tpu.data.cache import DecodedCache, build_decoded_cache
+
+    class _Synth:
+        def __init__(self, n, rng):
+            self.labels = [0] * n
+            self._rng = rng
+            self._n = n
+
+        def __len__(self):
+            return self._n
+
+        def load_image(self, i):
+            return (self._rng.random((size, size, 3)) * 255).astype(np.uint8)
+
+    tmp = tempfile.mkdtemp(prefix="xmir_bench_cache_")
+    cache_dir = build_decoded_cache(
+        _Synth(n_files, np.random.default_rng(0)), tmp, size, num_workers=8
+    )
+    cache = DecodedCache(cache_dir)
+    for _ in cache.iter_batches(64):  # warm page cache
+        pass
+    t0 = time.perf_counter()
+    n = sum(b[0].shape[0] for b in cache.iter_batches(64))
+    dt = time.perf_counter() - t0
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n / dt
+
+
 def bench_host_pipeline(n_files: int = 768, size: int = 256, out: int = 224):
     """Host-side input pipeline: .npy decode -> normalize -> resize -> RGB
     through the native C++ loader + bounded batch_iterator (the >=10k img/s
@@ -195,6 +230,10 @@ def main():
         host_ips = bench_host_pipeline()
     except Exception:
         host_ips = None
+    try:
+        host_cached_ips = bench_host_cached()
+    except Exception:
+        host_cached_ips = None
 
     per_chip_target = TARGET_QPS_V5E8 / 8.0 * n_chips
     result = {
@@ -208,6 +247,9 @@ def main():
             "embed_target_per_chip": TARGET_IPS_V5E8 / 8.0 * n_chips,
             "host_pipeline_npy_img_per_sec": (
                 None if host_ips is None else round(host_ips, 1)
+            ),
+            "host_pipeline_cached_img_per_sec": (
+                None if host_cached_ips is None else round(host_cached_ips, 1)
             ),
             # the host pipeline saturates its cores (native C++ decode
             # threads); on this 1-CPU bench host the number is core-bound

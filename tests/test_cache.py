@@ -1,0 +1,66 @@
+"""Decode-once uint8 cache (data/cache.py): build -> serve -> pipeline
+compatibility."""
+import numpy as np
+import pytest
+
+from xmir_tpu.data.cache import DecodedCache, build_decoded_cache
+
+
+class _FakeDataset:
+    def __init__(self, images, labels):
+        self.images = images
+        self.labels = labels
+
+    def __len__(self):
+        return len(self.images)
+
+    def load_image(self, i):
+        return self.images[i]
+
+
+@pytest.fixture
+def dataset(rng):
+    images = [
+        rng.integers(0, 255, (40 + 3 * i, 64, 3)).astype(np.uint8)
+        for i in range(9)
+    ]
+    return _FakeDataset(images, list(range(9)))
+
+
+class TestDecodedCache:
+    def test_build_and_serve(self, dataset, tmp_path, rng):
+        d = build_decoded_cache(dataset, str(tmp_path / "c"), 32, batch_size=4)
+        cache = DecodedCache(d)
+        assert len(cache) == 9
+        assert cache.load_image(3).shape == (32, 32, 3)
+        # cached content equals a fresh decode of the same item
+        from xmir_tpu.data.transforms import pil_resize_center_crop
+
+        fresh = pil_resize_center_crop(dataset.load_image(3), 32)
+        np.testing.assert_array_equal(cache.load_image(3), fresh)
+        assert list(cache.labels) == list(range(9))
+
+    def test_batch_fast_path_and_size_guard(self, dataset, tmp_path):
+        d = build_decoded_cache(dataset, str(tmp_path / "c"), 32, batch_size=4)
+        cache = DecodedCache(d)
+        batch = cache.load_batch_cropped([1, 4, 7], 32)
+        assert batch.shape == (3, 32, 32, 3)
+        with pytest.raises(ValueError):
+            cache.load_batch_cropped([0], 48)
+
+    def test_pipeline_uses_cache_fast_path(self, dataset, tmp_path):
+        from xmir_tpu.data.pipeline import batch_iterator
+
+        d = build_decoded_cache(dataset, str(tmp_path / "c"), 32, batch_size=4)
+        cache = DecodedCache(d)
+        got = list(batch_iterator(cache, 4, image_size=32, num_workers=2))
+        n = sum(b[0].shape[0] for b in got)
+        assert n == 9
+        assert got[0][0].dtype == np.uint8
+
+    def test_iter_batches(self, dataset, tmp_path):
+        d = build_decoded_cache(dataset, str(tmp_path / "c"), 32, batch_size=4)
+        cache = DecodedCache(d)
+        chunks = list(cache.iter_batches(4))
+        assert sum(c[0].shape[0] for c in chunks) == 9
+        np.testing.assert_array_equal(chunks[0][0][1], cache.load_image(1))
