@@ -43,3 +43,41 @@ for _canon, _aliases in LESION_ALIAS_GROUPS.items():
 def canonical_lesion_name(name: str) -> str:
     key = str(name).strip().lower().replace("-", " ")
     return LESION_ALIAS_TO_CANON.get(key, key)
+
+
+def detector_fn_from_checkpoint(
+    path: str,
+    num_classes: int = 14,
+    depth_multiple: float = 0.33,
+    width_multiple: float = 0.50,
+):
+    """Build a ``detector_fn`` (letterboxed (1, 3, S, S) float32 -> raw
+    (1, N, 5+nc) predictions) from an ultralytics-layout YOLOv5 ``.pt``
+    checkpoint via the native Flax tower — the real-checkpoint replacement
+    for the reference's ONNX sessions (ChestMIR/utils/inference.py:290-340).
+
+    One fn per fold; pass the list to ``inference.predict_image``.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.convert import convert_yolov5, load_torch_state_dict
+    from ..models.yolo import YOLOv5
+
+    sd = load_torch_state_dict(path)
+    variables, anchors = convert_yolov5(sd, depth_multiple=depth_multiple)
+    model = YOLOv5(
+        num_classes=num_classes, depth_multiple=depth_multiple,
+        width_multiple=width_multiple, anchors=anchors,
+    )
+
+    @jax.jit
+    def _apply(x_nhwc):
+        return model.apply(variables, x_nhwc, train=False)["prediction"]
+
+    def detector_fn(input_tensor: "np.ndarray") -> "np.ndarray":
+        x = jnp.asarray(np.transpose(np.asarray(input_tensor), (0, 2, 3, 1)))
+        return np.asarray(_apply(x))
+
+    return detector_fn

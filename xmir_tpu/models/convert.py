@@ -400,3 +400,73 @@ def convert_swinv2_timm(sd: Dict[str, np.ndarray], depths=(2, 2, 18, 2)):
                 "mlp_fc2": _dense(sd, f"{pre}.mlp.fc2"),
             }
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# YOLOv5 detector (ultralytics v6.0 layout; ChestMIR lesion detector folds)
+# ---------------------------------------------------------------------------
+
+
+def _yolo_cbs(sd, prefix):
+    """Conv+BN+SiLU block -> ConvBnSiLU params/batch_stats pair."""
+    bn_p, bn_s = _bn(sd, f"{prefix}.bn")
+    return (
+        {"conv": {"kernel": _conv(sd[f"{prefix}.conv.weight"])}, "bn": bn_p},
+        {"bn": bn_s},
+    )
+
+
+def _yolo_c3(sd, prefix, n):
+    params, stats = {}, {}
+    for name in ("cv1", "cv2", "cv3"):
+        params[name], stats[name] = _yolo_cbs(sd, f"{prefix}.{name}")
+    for j in range(n):
+        bp, bs = {}, {}
+        for name in ("cv1", "cv2"):
+            bp[name], bs[name] = _yolo_cbs(sd, f"{prefix}.m.{j}.{name}")
+        params[f"m{j}"], stats[f"m{j}"] = bp, bs
+    return params, stats
+
+
+def convert_yolov5(sd: Dict[str, np.ndarray], depth_multiple: float = 0.33):
+    """ultralytics YOLOv5 (v6.0 graph) state_dict -> models/yolo.py variables.
+
+    Handles the reference detector-fold lineage
+    (ChestMIR/utils/inference.py:290-340 runs these as ONNX exports): keys
+    ``model.{i}.*`` for layers 0..23 plus the Detect head ``model.24.m.{k}``
+    and its normalized ``anchors`` buffer.
+
+    Returns (variables, anchors_px) — anchors in pixels (the stored buffer is
+    anchors/stride), ready to pass as YOLOv5(anchors=...).
+    """
+    sd = _strip_prefixes(sd, ("model.model.", "model."))
+
+    def d(n):
+        return max(round(n * depth_multiple), 1)
+
+    params, stats = {}, {}
+    conv_layers = (0, 1, 3, 5, 7, 10, 14, 18, 21)
+    c3_layers = {2: d(3), 4: d(6), 6: d(9), 8: d(3),
+                 13: d(3), 17: d(3), 20: d(3), 23: d(3)}
+    for i in conv_layers:
+        params[f"layer{i}"], stats[f"layer{i}"] = _yolo_cbs(sd, str(i))
+    for i, n in c3_layers.items():
+        params[f"layer{i}"], stats[f"layer{i}"] = _yolo_c3(sd, str(i), n)
+    # SPPF (layer 9): cv1/cv2
+    p9, s9 = {}, {}
+    for name in ("cv1", "cv2"):
+        p9[name], s9[name] = _yolo_cbs(sd, f"9.{name}")
+    params["layer9"], stats["layer9"] = p9, s9
+    # Detect head convs (biased)
+    for k in range(3):
+        params[f"detect{k}"] = {
+            "kernel": _conv(sd[f"24.m.{k}.weight"]),
+            "bias": sd[f"24.m.{k}.bias"],
+        }
+    anchors_norm = sd["24.anchors"]  # (3, na, 2), divided by stride
+    strides = np.asarray([8.0, 16.0, 32.0], np.float32)
+    anchors_px = anchors_norm * strides[:, None, None]
+    anchors = tuple(
+        tuple(tuple(float(v) for v in a) for a in scale) for scale in anchors_px
+    )
+    return {"params": params, "batch_stats": stats}, anchors

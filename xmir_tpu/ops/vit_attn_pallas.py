@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float("-inf")
+LOG2E = 1.4426950408889634  # softmax in exp2 space: exp(x) == exp2(x*log2e)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -44,24 +45,27 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad_extra, scale):
     # q/o blocks (bb, TQ, D); k/v blocks (bb, NK, D). The softmax scale is
     # applied to the (TQ, D) q tile in VMEM — 20x smaller than the score
-    # matrix and free of the host-side HBM pass a pre-scale would cost.
+    # matrix and free of the host-side HBM pass a pre-scale would cost —
+    # and log2(e) is folded into it so the softmax runs in exp2 space: the
+    # VPU's exp lowers to exp2(x*log2e), and pre-folding the constant into
+    # the tiny q tile deletes that full-score-matrix multiply.
     # No key masking pass: zero-padded keys score exactly
-    # 0, contribute exp(-m) each to the denominator (corrected analytically
+    # 0, contribute exp2(-m) each to the denominator (corrected analytically
     # below) and nothing to the value dot (their v rows are zero). rowmax
     # over the padded scores is max(real, 0) >= any real score, so the
     # shifted exp stays stable. Every full-matrix VPU op beyond the one
-    # exp(s - m) is eliminated; normalization is deferred past the value
+    # exp2(s - m) is eliminated; normalization is deferred past the value
     # matmul ((e/Z) @ v == (e @ v)/Z) so it touches (TQ, D), not (TQ, NK).
     for i in range(q_ref.shape[0]):  # static unroll over folded batch*heads
-        q = q_ref[i] * jnp.asarray(scale, q_ref.dtype)
+        q = q_ref[i] * jnp.asarray(scale * LOG2E, q_ref.dtype)
         s = jnp.dot(q, k_ref[i].T, preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp2(s - m)
         z = jnp.sum(e, axis=-1, keepdims=True)
         if n_pad_extra:
             # floor guards the (unphysical) case of every real logit
             # underflowing exp while the pad contribution dominates z
-            z = jnp.maximum(z - n_pad_extra * jnp.exp(-m), 1e-30)
+            z = jnp.maximum(z - n_pad_extra * jnp.exp2(-m), 1e-30)
         o = jnp.dot(
             e.astype(v_ref.dtype), v_ref[i], preferred_element_type=jnp.float32
         )
@@ -69,10 +73,21 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad_extra, scale):
 
 
 def _choose_tile_q(n: int) -> int:
-    """Largest query tile whose row padding stays near the 128-multiple
-    minimum: big tiles amortize grid overhead, padded rows burn real MXU
-    work (e.g. 729 -> tq 256 pads to 768, not 1024)."""
+    """Query tile minimizing padded rows: query rows live on the 8-sublane
+    axis, so tq only needs 8-alignment — a divisor of round_up(n, 8) in
+    [172, 768] gives near-zero padding (DINOv2's 1370 -> tq 344, nq_pad 1376
+    = 0.4% pad, where the old 128-aligned choice padded 12% and burned that
+    fraction of every MXU dot and VPU exp). Falls back to the 128-aligned
+    ladder when no such divisor exists."""
+    n8 = _round_up(n, 8)
+    best = None
+    for tq in range(768, 171, -8):
+        if n8 % tq == 0:
+            best = tq
+            break
     base = _round_up(n, 128)
+    if best is not None and n8 <= 1.05 * base:
+        return best
     for tq in (512, 256):
         if _round_up(n, tq) <= 1.15 * base:
             return tq
@@ -157,18 +172,21 @@ def _kernel_biased(
     q_ref, k_ref, v_ref, b_ref, s_ref, o_ref, *, n_pad_extra, cosine,
     bb, g_size, n_groups
 ):
-    # Same one-pass softmax as _kernel plus an additive bias block shared by
-    # every row of the grid step (grouped CPB bias + shift mask for Swin)
-    # and a per-group logit scale scalar (SwinV2's learned temperature).
+    # Same one-pass exp2-space softmax as _kernel plus an additive bias block
+    # shared by every row of the grid step (grouped CPB bias + shift mask for
+    # Swin) and a per-group logit scale scalar (SwinV2's learned temperature).
+    # The caller pre-scales the bias by log2(e) (one fused multiply on the
+    # small (G, N, N) table) and log2(e) folds into the q scale here, so exp2
+    # replaces exp with no full-score-matrix multiply.
     # With cosine=True, q/k rows are L2-normalized in VMEM — SwinV2's
     # cosine attention without the 5 host-side HBM passes (2 norms, scale,
     # and their writebacks) the XLA prologue spent.
     # The bias is zero-padded, so padded keys still contribute exactly
-    # exp(-m) to the denominator and the analytic correction holds.
+    # exp2(-m) to the denominator and the analytic correction holds.
     bias = b_ref[0]
     # the (G, 1) scale table rides whole in SMEM; pick this step's group
     g = (pl.program_id(0) * bb // g_size) % n_groups
-    sc = s_ref[g, 0]
+    sc = s_ref[g, 0] * LOG2E
     for i in range(q_ref.shape[0]):
         if cosine:
             qf = q_ref[i].astype(jnp.float32)
@@ -187,10 +205,10 @@ def _kernel_biased(
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
         s = s + bias
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp2(s - m)
         z = jnp.sum(e, axis=-1, keepdims=True)
         if n_pad_extra:
-            z = jnp.maximum(z - n_pad_extra * jnp.exp(-m), 1e-30)
+            z = jnp.maximum(z - n_pad_extra * jnp.exp2(-m), 1e-30)
         o = jnp.dot(
             e.astype(v_ref.dtype), v_ref[i], preferred_element_type=jnp.float32
         )
@@ -235,8 +253,9 @@ def _biased_fwd_pallas(q, k, v, bias, scale, g_size, cosine, interpret=False):
     qp = jnp.pad(q, ((0, 0), (0, nq_pad - n), (0, 0))) if nq_pad != n else q
     kp = jnp.pad(k, ((0, 0), (0, nk_pad - n), (0, 0))) if nk_pad != n else k
     vp = jnp.pad(v, ((0, 0), (0, nk_pad - n), (0, 0))) if nk_pad != n else v
+    # bias pre-scaled by log2(e): the kernel's softmax runs in exp2 space
     bp = jnp.pad(
-        bias.astype(jnp.float32),
+        bias.astype(jnp.float32) * LOG2E,
         ((0, 0), (0, nq_pad - n), (0, nk_pad - n)),
     )
     sp = scale.astype(jnp.float32).reshape(G, 1)
