@@ -120,22 +120,26 @@ def _attention_fwd_pallas(q, k, v, sm_scale: float, interpret: bool = False):
     # fold as many heads per grid step as the scoped-VMEM limit allows. VMEM
     # lays the minor dim out in 128-lane tiles, so head_dim < 128 still
     # occupies full lanes — size with the padded width. The in-kernel head
-    # loop is unrolled: Mosaic allocates the f32 score/exp intermediates of
-    # every unrolled iteration SIMULTANEOUSLY (observed with the 2026-08
-    # libtpu: 24 folded heads on the DINOv2 shape wanted 106MB of the 96MB
-    # scoped limit), so the (tq, nk) f32 temporaries are charged per row.
+    # loop is unrolled and the 2026-08 libtpu's Mosaic keeps roughly one
+    # pipelined f32 score buffer live PER unrolled iteration (24 folded
+    # heads on the DINOv2 shape wanted 106MB ~= panes + qo + 24 x 1.2
+    # score buffers of the 96MB scoped limit), so charge ~1.5 (tq, nk) f32
+    # buffers per row as pipelining allowance.
     itemsize = jnp.dtype(q.dtype).itemsize
     d_eff = _round_up(d, 128)
 
     def vmem_est(bb):
         panes = 2 * 2 * bb * nk_pad * d_eff * itemsize  # double-buffered k+v
         qo = 2 * 2 * bb * tq * d_eff * itemsize
-        scores = 3 * tq * nk_pad * 4 * bb  # per unrolled head: s, e, dot out
+        scores = int(1.5 * tq * nk_pad * 4) * bb
         return panes + qo + scores
 
-    bb = bh
-    while bb > 1 and vmem_est(bb) > 80 * 1024 * 1024:
-        bb = max(1, bb // 2)
+    # cap the unroll at 8 rows: the 2026-08 Mosaic's compile time explodes
+    # superlinearly with the unrolled head count (a 16-row Swin fold ran
+    # >10 min without finishing; 8 rows compile in ~1 min)
+    bb = min(bh, 8)
+    while bb > 1 and vmem_est(bb) > 84 * 1024 * 1024:
+        bb -= 1
     while bh % bb:
         bb -= 1
 
@@ -240,13 +244,13 @@ def _biased_fwd_pallas(q, k, v, bias, scale, g_size, cosine, interpret=False):
     def vmem_est(bb):
         panes = 2 * 2 * bb * nk_pad * d_eff * itemsize
         qo = 2 * 2 * bb * tq * d_eff * itemsize
-        scores = 3 * tq * nk_pad * 4 * bb  # unrolled rows alloc simultaneously
+        scores = int(1.5 * tq * nk_pad * 4) * bb  # see _attention_fwd_pallas
         bias_blk = 2 * tq * nk_pad * 4
         return panes + qo + scores + bias_blk
 
-    bb = min(g_size, bh)
-    while bb > 1 and vmem_est(bb) > 80 * 1024 * 1024:
-        bb = max(1, bb // 2)
+    bb = min(g_size, bh, 8)  # unroll cap: see _attention_fwd_pallas
+    while bb > 1 and vmem_est(bb) > 84 * 1024 * 1024:
+        bb -= 1
     while g_size % bb or bh % bb:
         bb -= 1
 
