@@ -47,12 +47,15 @@ def _timed(fn):
 
 
 def _loop_time(make_loop_fn, *args):
-    f1 = jax.jit(make_loop_fn(N1))
-    f2 = jax.jit(make_loop_fn(N2))
-    float(f1(*args))
-    float(f2(*args))
-    t1 = min(_timed(lambda: float(f1(*args))) for _ in range(2))
-    t2 = min(_timed(lambda: float(f2(*args))) for _ in range(2))
+    """One compile: the fori_loop trip count is a TRACED argument (lowers to
+    a while loop), so the N1- and N2-iteration timings share a single
+    compiled executable — halving the dominant cost on the slow-compile
+    tunnel vs two specialized loop functions."""
+    f = jax.jit(make_loop_fn(None))
+    float(f(jnp.int32(N1), *args))
+    float(f(jnp.int32(N2), *args))
+    t1 = min(_timed(lambda: float(f(jnp.int32(N1), *args))) for _ in range(2))
+    t2 = min(_timed(lambda: float(f(jnp.int32(N2), *args))) for _ in range(2))
     return max((t2 - t1) / (N2 - N1), 1e-9)
 
 
@@ -71,8 +74,8 @@ def bench_embed(name: str, batch: int | None = None) -> float:
     )
     x = x32.astype(jnp.bfloat16)
 
-    def make_loop(iters):
-        def run(v, x):
+    def make_loop(_):
+        def run(iters, v, x):
             def body(_, carry):
                 acc, bump = carry
                 out = model.apply(v, x + bump, train=False)
@@ -109,8 +112,8 @@ def bench_train(name: str, batch: int | None = None, loss: str = "supcon") -> fl
     state = create_train_state(model, jax.random.PRNGKey(0), x[:2], tx)
     step = make_embedding_train_step(model, loss, compute_dtype=jnp.bfloat16)
 
-    def make_loop(iters):
-        def run(state, x, labels):
+    def make_loop(_):
+        def run(iters, state, x, labels):
             def body(_, carry):
                 st, bump = carry
                 st, metrics = step(st, x + bump, labels)
