@@ -22,6 +22,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: first run pays the tunnel's slow compiles,
+# subsequent runs (same shapes) start hot. Opt out: XMIR_NO_COMPILE_CACHE=1.
+if not os.environ.get("XMIR_NO_COMPILE_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 GALLERY_N = 100_000
 DIM = 1024
 K = 10

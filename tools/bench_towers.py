@@ -15,11 +15,24 @@ Usage:
 """
 import argparse
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persist compiled executables across processes: the axon tunnel's compiles
+# run 20s-10min+, and the remat/large-batch train configs exceed one bench
+# window without this. Opt out with XMIR_NO_COMPILE_CACHE=1.
+if not os.environ.get("XMIR_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 # (embed batch, train batch) tuned to v5e HBM at each tower's resolution
 BATCHES = {
@@ -92,7 +105,9 @@ def bench_embed(name: str, batch: int | None = None) -> float:
     return b / dt
 
 
-def bench_train(name: str, batch: int | None = None, loss: str = "supcon") -> float:
+def bench_train(
+    name: str, batch: int | None = None, loss: str = "supcon", remat: bool = False
+) -> float:
     """fwd+bwd+update img/s: the reference train_epoch hot loop."""
     import optax
 
@@ -110,7 +125,9 @@ def bench_train(name: str, batch: int | None = None, loss: str = "supcon") -> fl
     # reference optimizer: Adam + grad-clip 5.0 (train.py:98-101)
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-4))
     state = create_train_state(model, jax.random.PRNGKey(0), x[:2], tx)
-    step = make_embedding_train_step(model, loss, compute_dtype=jnp.bfloat16)
+    step = make_embedding_train_step(
+        model, loss, compute_dtype=jnp.bfloat16, remat=remat
+    )
 
     def make_loop(_):
         def run(iters, state, x, labels):
@@ -139,6 +156,8 @@ def main():
     p.add_argument("--mode", default="embed", choices=["embed", "train", "both"])
     p.add_argument("--batch", type=int, default=0, help="override batch size")
     p.add_argument("--loss", default="supcon")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialized backward (gradient checkpointing)")
     p.add_argument("--json", default="", help="write results JSON here")
     args = p.parse_args()
 
@@ -157,7 +176,7 @@ def main():
         if args.mode in ("train", "both"):
             t0 = time.time()
             row["train_img_per_sec"] = round(
-                bench_train(name, args.batch or None, args.loss), 1
+                bench_train(name, args.batch or None, args.loss, args.remat), 1
             )
             row["train_wall_s"] = round(time.time() - t0, 1)
         results[name] = row
