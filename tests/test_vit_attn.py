@@ -187,3 +187,25 @@ class TestModelDispatch:
         assert not plain_flash_enabled(jnp.bfloat16, 1370)
         monkeypatch.setenv("XMIR_FLASH_ATTN", "1")
         assert plain_flash_enabled(jnp.float32, 64)
+
+
+class TestRolledFold:
+    """XMIR_ATTN_FOLD > 8 switches the in-kernel row loop from a static
+    unroll to a rolled lax.fori_loop with dynamic ref indexing (one shared
+    score buffer — the large-fold configs the 2026-08 Mosaic cannot
+    compile unrolled). Shapes here are unique so the jitted wrappers
+    retrace under the patched env."""
+
+    def test_plain_rolled_16(self, rng, monkeypatch):
+        monkeypatch.setenv("XMIR_ATTN_FOLD", "16")
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((32, 160, 32)), jnp.float32)
+            for _ in range(3)
+        )
+        _check(q, k, v, 0.17)
+
+    def test_biased_rolled_16(self, rng, monkeypatch):
+        monkeypatch.setenv("XMIR_ATTN_FOLD", "16")
+        TestGroupedBias()._check(
+            rng, bh=32, G=2, gs=16, n=120, d=32, cosine=True
+        )

@@ -152,3 +152,21 @@ class TestPlainFlashGating:
         assert not plain_attn.plain_flash_enabled(jnp.bfloat16, 20000)
         monkeypatch.setenv("XMIR_FLASH_ATTN", "1")
         assert not plain_attn.plain_flash_enabled(jnp.bfloat16, 20000)
+
+
+class TestDtypeGate:
+    def test_f32_keeps_xla_path_on_tpu(self, monkeypatch):
+        """f32 compute keeps the XLA path (checkpoint parity): the MXU's
+        bf16-pass decomposition inside the kernel drifts ~3e-2 from the XLA
+        einsum on the scale-21 cosine softmax (measured on v5e)."""
+        from xmir_tpu.ops import window_attn_pallas as wap
+
+        monkeypatch.delenv("XMIR_FUSED_ATTN", raising=False)
+        monkeypatch.setattr(wap.jax, "default_backend", lambda: "tpu")
+        assert wap.fused_attention_enabled(jnp.bfloat16)
+        assert not wap.fused_attention_enabled(jnp.float32)
+        assert wap.fused_attention_enabled()  # dtype-less: backend only
+        monkeypatch.setenv("XMIR_FUSED_ATTN", "0")
+        assert not wap.fused_attention_enabled(jnp.bfloat16)
+        monkeypatch.setenv("XMIR_FUSED_ATTN", "1")
+        assert wap.fused_attention_enabled(jnp.float32)  # forced: tests

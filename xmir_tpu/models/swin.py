@@ -145,7 +145,10 @@ class WindowAttentionV2(nn.Module):
         )
 
         # the fused kernels gate out of training (VJP via XLA recompute only)
-        if not output_attentions and not train and fused_attention_enabled():
+        # and out of f32 compute (qkv carries the promoted dtype; f32 keeps
+        # the XLA path for checkpoint parity, as in vit.py/siglip.py)
+        if (not output_attentions and not train
+                and fused_attention_enabled(qkv.dtype)):
             # fold shift masks into the bias, group rows as (window, head)
             # with the image batch minor, and run a fused VMEM-resident
             # kernel (no (BW, H, N, N) attention tensor ever reaches HBM)

@@ -42,6 +42,37 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _fold_cap() -> int:
+    """Rows folded per grid step. <=8 unrolls (best pipelining); >8 switches
+    _row_loop to a rolled lax.fori_loop (compiles flat, reuses one score
+    buffer). Measured on v5e: rolled 16 loses 6% on the SwinV2 shape (390
+    vs 415 img/s) and rolled 16/24 lose ~4% on DINOv2 (316/315 vs 330) —
+    the unroll's cross-row MXU/VPU overlap beats the fewer grid steps, so
+    8 stays the default; the knob exists to re-measure on new shapes/libtpu.
+    Read once per trace: processes that change XMIR_ATTN_FOLD after a shape
+    has been jitted keep the cached executable."""
+    import os
+
+    return max(int(os.environ.get("XMIR_ATTN_FOLD", "8")), 1)
+
+
+def _row_loop(bb: int, body):
+    """Iterate the folded batch*heads rows of one grid step.
+
+    Small folds run as a static Python unroll (Mosaic pipelines the
+    per-iteration MXU work best this way). Large folds run as a
+    lax.fori_loop: the 2026-08 Mosaic allocates the f32 score buffer once
+    per UNROLLED iteration (a 16-row unroll wants 16 live (tq, nk) f32
+    buffers -> scoped-VMEM OOM) and its compile time explodes superlinearly
+    past ~8 unrolled rows; a rolled loop reuses one buffer and compiles
+    flat, which is what lets bb exceed 8 at all."""
+    if bb <= 8:
+        for i in range(bb):
+            body(i)
+    else:
+        jax.lax.fori_loop(0, bb, lambda i, c: (body(i), c)[1], 0)
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad_extra, scale):
     # q/o blocks (bb, TQ, D); k/v blocks (bb, NK, D). The softmax scale is
     # applied to the (TQ, D) q tile in VMEM — 20x smaller than the score
@@ -56,7 +87,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad_extra, scale):
     # shifted exp stays stable. Every full-matrix VPU op beyond the one
     # exp2(s - m) is eliminated; normalization is deferred past the value
     # matmul ((e/Z) @ v == (e @ v)/Z) so it touches (TQ, D), not (TQ, NK).
-    for i in range(q_ref.shape[0]):  # static unroll over folded batch*heads
+    def body(i):
         q = q_ref[i] * jnp.asarray(scale * LOG2E, q_ref.dtype)
         s = jnp.dot(q, k_ref[i].T, preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -70,6 +101,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad_extra, scale):
             e.astype(v_ref.dtype), v_ref[i], preferred_element_type=jnp.float32
         )
         o_ref[i] = (o / z).astype(o_ref.dtype)
+
+    _row_loop(q_ref.shape[0], body)
 
 
 def _choose_tile_q(n: int) -> int:
@@ -131,13 +164,13 @@ def _attention_fwd_pallas(q, k, v, sm_scale: float, interpret: bool = False):
     def vmem_est(bb):
         panes = 2 * 2 * bb * nk_pad * d_eff * itemsize  # double-buffered k+v
         qo = 2 * 2 * bb * tq * d_eff * itemsize
-        scores = int(1.5 * tq * nk_pad * 4) * bb
+        # unrolled rows each keep a live f32 score buffer; the rolled
+        # (>8-row) loop reuses one (+1 as pipelining allowance)
+        rows = bb if bb <= 8 else 2
+        scores = int(1.5 * tq * nk_pad * 4) * rows
         return panes + qo + scores
 
-    # cap the unroll at 8 rows: the 2026-08 Mosaic's compile time explodes
-    # superlinearly with the unrolled head count (a 16-row Swin fold ran
-    # >10 min without finishing; 8 rows compile in ~1 min)
-    bb = min(bh, 8)
+    bb = min(bh, _fold_cap())
     while bb > 1 and vmem_est(bb) > 84 * 1024 * 1024:
         bb -= 1
     while bh % bb:
@@ -191,7 +224,8 @@ def _kernel_biased(
     # the (G, 1) scale table rides whole in SMEM; pick this step's group
     g = (pl.program_id(0) * bb // g_size) % n_groups
     sc = s_ref[g, 0] * LOG2E
-    for i in range(q_ref.shape[0]):
+
+    def body(i):
         if cosine:
             qf = q_ref[i].astype(jnp.float32)
             kf = k_ref[i].astype(jnp.float32)
@@ -217,6 +251,8 @@ def _kernel_biased(
             e.astype(v_ref.dtype), v_ref[i], preferred_element_type=jnp.float32
         )
         o_ref[i] = (o / z).astype(o_ref.dtype)
+
+    _row_loop(q_ref.shape[0], body)
 
 
 @functools.partial(
@@ -244,11 +280,12 @@ def _biased_fwd_pallas(q, k, v, bias, scale, g_size, cosine, interpret=False):
     def vmem_est(bb):
         panes = 2 * 2 * bb * nk_pad * d_eff * itemsize
         qo = 2 * 2 * bb * tq * d_eff * itemsize
-        scores = int(1.5 * tq * nk_pad * 4) * bb  # see _attention_fwd_pallas
+        rows = bb if bb <= 8 else 2  # see _attention_fwd_pallas
+        scores = int(1.5 * tq * nk_pad * 4) * rows
         bias_blk = 2 * tq * nk_pad * 4
         return panes + qo + scores + bias_blk
 
-    bb = min(g_size, bh, 8)  # unroll cap: see _attention_fwd_pallas
+    bb = min(g_size, bh, _fold_cap())  # one bias group per grid step
     while bb > 1 and vmem_est(bb) > 84 * 1024 * 1024:
         bb -= 1
     while g_size % bb or bh % bb:

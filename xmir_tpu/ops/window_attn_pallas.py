@@ -109,11 +109,21 @@ def window_attention_fused(q_scaled, k_norm, v, bias, interpret: bool = False):
     )(q_scaled, k_norm, v, bias)
 
 
-def fused_attention_enabled() -> bool:
-    """Use the fused kernel on TPU unless XMIR_FUSED_ATTN=0."""
+def fused_attention_enabled(dtype=None) -> bool:
+    """Use the fused kernel on TPU unless XMIR_FUSED_ATTN=0.
+
+    Pass the promoted compute dtype to apply the same policy as
+    plain_flash_enabled: f32 activations keep the XLA path. On the MXU an
+    f32 matmul decomposes into bf16 passes, and the kernel's single-pass
+    decomposition differs from the XLA einsum's — measured ~3e-2 drift on
+    the scale-21 cosine softmax — so f32 (the checkpoint-parity/oracle
+    configuration) stays bit-comparable to the reference stack while bf16
+    serving, whose input rounding already dwarfs that, takes the kernel."""
     flag = os.environ.get("XMIR_FUSED_ATTN", "")
     if flag == "0":
         return False
     if flag == "1":
         return True
+    if dtype is not None and jnp.dtype(dtype) != jnp.bfloat16:
+        return False
     return jax.default_backend() == "tpu"
