@@ -226,6 +226,26 @@ def bench_host_pipeline(n_files: int = 768, size: int = 256, out: int = 224):
     return n / dt
 
 
+def bench_towers(names):
+    """Per-tower embed img/s via tools/bench_towers.bench_embed (identical
+    jaxpr -> hits the persistent compile cache warmed by tooling runs).
+    Each tower is individually fault-isolated."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_towers import bench_embed as tower_embed
+
+    out = {}
+    for name in names:
+        if not name:
+            continue
+        try:
+            out[f"embed_images_per_sec_{name}_bf16"] = round(tower_embed(name), 1)
+        except Exception:
+            out[f"embed_images_per_sec_{name}_bf16"] = None
+    return out
+
+
 def main():
     n_chips = jax.device_count()
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -246,6 +266,14 @@ def main():
         host_cached_ips = bench_host_cached()
     except Exception:
         host_cached_ips = None
+    # per-tower embed extras (VERDICT r2 ask); skippable / extendable via
+    # XMIR_BENCH_TOWERS="dinov2,swinv2,..." or "" to disable
+    towers = {}
+    if on_tpu:
+        names = os.environ.get(
+            "XMIR_BENCH_TOWERS", "dinov2,convnextv2,swinv2"
+        ).split(",")
+        towers = bench_towers(names)
 
     per_chip_target = TARGET_QPS_V5E8 / 8.0 * n_chips
     result = {
@@ -256,6 +284,7 @@ def main():
         "extras": {
             "qps_bf16_serving_mode": None if qps_bf16 is None else round(qps_bf16, 1),
             "embed_images_per_sec_densenet121_bf16": None if ips is None else round(ips, 1),
+            **towers,
             "embed_target_per_chip": TARGET_IPS_V5E8 / 8.0 * n_chips,
             "host_pipeline_npy_img_per_sec": (
                 None if host_ips is None else round(host_ips, 1)

@@ -33,3 +33,9 @@ def pytest_configure(config):
         "slow: multi-minute full-backbone compiles; deselect for iteration "
         "with -m 'not slow' (CI of record runs everything)",
     )
+    config.addinivalue_line(
+        "markers",
+        "heavy: torch-oracle converter parity suites (~minutes each on CPU); "
+        "second deselection tier for fast iteration with "
+        "-m 'not slow and not heavy' (CI of record runs everything)",
+    )

@@ -9,6 +9,9 @@ import jax.numpy as jnp
 import torch
 import torch.nn as nn
 
+pytestmark = pytest.mark.heavy  # torch-oracle suites: second tier, see conftest
+
+
 from xmir_tpu.models import DenseNetBackbone, SiglipVisionBackbone, BertTextBackbone
 from xmir_tpu.models.convert import (
     convert_bert,

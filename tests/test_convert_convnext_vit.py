@@ -7,6 +7,9 @@ import torch.nn as nn
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.heavy  # torch-oracle suites: second tier, see conftest
+
+
 from xmir_tpu.models import ConvNeXtV2Backbone, ViTBackbone
 from xmir_tpu.models.convert import convert_convnextv2_timm, convert_vit_timm
 

@@ -9,6 +9,9 @@ import torch
 import torch.nn as nn
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.heavy  # torch-oracle suites: second tier, see conftest
+
+
 from xmir_tpu.models import SwinV2Backbone
 from xmir_tpu.models.convert import convert_swinv2_timm
 

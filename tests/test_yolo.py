@@ -5,6 +5,9 @@ ChestMIR/utils/inference.py:290-340)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # torch-oracle suites: second tier, see conftest
+
+
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 
