@@ -164,6 +164,68 @@ class TestShardedStep:
             np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
 
 
+class TestMixedPrecisionStep:
+    def test_bf16_step_matches_f32_and_keeps_f32_state(self, rng):
+        """compute_dtype=bf16 must cast params INSIDE the differentiated
+        function (the torch-AMP analogue): master params, gradients, and BN
+        running stats stay f32; one step lands near the f32 step's params."""
+        import flax.linen as nn
+
+        class _M(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                h = nn.Dense(32, name="backbone_fc")(x.reshape(x.shape[0], -1))
+                h = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, name="bn"
+                )(h)
+                h = nn.relu(h)
+                h = nn.Dense(16, name="fc")(h)
+                e = h / jnp.maximum(jnp.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+                return {"embedding": e}
+
+        model = _M()
+        x, labels = _cluster_batch(rng)
+        tx = build_optimizer(model.init(jax.random.PRNGKey(0), x)["params"], lr=1e-2)
+        s32 = create_train_state(model, jax.random.PRNGKey(0), x, tx)
+        s16 = jax.tree_util.tree_map(lambda a: a, s32)
+
+        step32 = jax.jit(make_embedding_train_step(model, "triplet_hard"))
+        step16 = jax.jit(
+            make_embedding_train_step(
+                model, "triplet_hard", compute_dtype=jnp.bfloat16
+            )
+        )
+        s32, m32 = step32(s32, x, labels)
+        s16, m16 = step16(s16, x, labels)
+
+        for leaf in jax.tree_util.tree_leaves(s16.params) + jax.tree_util.tree_leaves(
+            s16.batch_stats
+        ):
+            assert leaf.dtype == jnp.float32
+        np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]), atol=0.05)
+        for pa, pb in zip(
+            jax.tree_util.tree_leaves(s32.params),
+            jax.tree_util.tree_leaves(s16.params),
+        ):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=0.05)
+
+    def test_bf16_loss_decreases(self, rng):
+        model = TinyEmbedder()
+        x, labels = _cluster_batch(rng)
+        tx = build_optimizer(model.init(jax.random.PRNGKey(0), x)["params"], lr=1e-2)
+        state = create_train_state(model, jax.random.PRNGKey(0), x, tx)
+        step = jax.jit(
+            make_embedding_train_step(
+                model, "triplet_hard", compute_dtype=jnp.bfloat16
+            )
+        )
+        losses = []
+        for _ in range(30):
+            state, m = step(state, x, labels)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.7
+
+
 class TestEmbedFn:
     def test_embed_fn(self, rng):
         model = TinyEmbedder()

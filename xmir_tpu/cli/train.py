@@ -52,7 +52,7 @@ def parse_args(argv=None):
                    help="Shard batches over all local devices (data parallel)")
     p.add_argument("--metrics-log", default="",
                    help="Append per-step/eval metrics as JSONL (observability)")
-    p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    p.add_argument("--bf16", action="store_true", help="bf16 mixed precision (AMP equivalent: f32 master params, bf16 compute)")
     p.add_argument("--accum-steps", default=1, type=int,
                    help="Gradient accumulation: update params every N batches")
     p.add_argument("--remat", action="store_true",

@@ -8,8 +8,16 @@ One step function per training family, mirroring the reference loops:
 
 All steps are pure (state, batch) -> (state, metrics) functions; shard the
 batch over the mesh `data` axis and XLA inserts the gradient psum — the DDP
-allreduce equivalent (SURVEY.md §2.10). bf16 is applied to activations by
-casting inputs; params stay fp32 (TPU-native mixed precision, no GradScaler).
+allreduce equivalent (SURVEY.md §2.10).
+
+Mixed precision (compute_dtype=bfloat16) is the torch-AMP equivalent of the
+reference's autocast loop (train.py:47-148): master params stay f32 in the
+optimizer, a bf16 copy is cast INSIDE the differentiated function so the
+whole forward+backward runs on bf16 MXU passes, and the cast's transpose
+returns f32 gradients. Casting only the inputs would be a no-op — flax's
+promote_dtype rules re-promote every matmul to f32 at the first f32 kernel.
+No GradScaler is needed: bf16 carries the f32 exponent range. Flax norm
+layers compute their statistics in f32 internally regardless of input dtype.
 """
 from __future__ import annotations
 
@@ -40,6 +48,16 @@ LOSS_FNS = {
         jnp.asarray(0.0),
     ),
 }
+
+
+def _cast_floating(tree, dtype):
+    """Cast floating-point leaves to `dtype`; non-float leaves pass through."""
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        tree,
+    )
 
 
 def _train_apply(model, params, batch_stats, images):
@@ -74,6 +92,7 @@ def make_embedding_train_step(
         images = images.astype(compute_dtype)
 
         def forward(params):
+            params = _cast_floating(params, compute_dtype)
             out, new_stats = _train_apply(model, params, state.batch_stats, images)
             emb = out["embedding"] if isinstance(out, dict) else out
             return emb.astype(jnp.float32), new_stats
@@ -111,6 +130,7 @@ def make_dual_branch_train_step(
         images = images.astype(compute_dtype)
 
         def losses(params):
+            params = _cast_floating(params, compute_dtype)
             out, new_stats = _train_apply(model, params, state.batch_stats, images)
             contrastive = multilabel_contrastive_loss(
                 out["embedding"].astype(jnp.float32), labels, temperature
@@ -145,6 +165,7 @@ def make_distill_train_step(
         images = images.astype(compute_dtype)
 
         def losses(params):
+            params = _cast_floating(params, compute_dtype)
             out, new_stats = _train_apply(model, params, state.batch_stats, images)
             emb = out["embedding"].astype(jnp.float32)
             metric_loss, aux = loss_fn(emb, labels, **loss_kwargs)
@@ -172,7 +193,7 @@ def make_conceptclip_train_step(model, alpha: float = 0.5, compute_dtype=jnp.flo
         pixel_values = pixel_values.astype(compute_dtype)
 
         def losses(params):
-            variables = {"params": params}
+            variables = {"params": _cast_floating(params, compute_dtype)}
             out = model.apply(
                 variables, pixel_values, input_ids, attention_mask,
                 method=model.forward_clip,
