@@ -111,6 +111,31 @@ class TestBackward:
         for a, b in zip(g, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
+    @pytest.mark.parametrize("bh,n,d", [(2, 137, 64), (3, 72, 32), (2, 729, 72)])
+    def test_bwd_kernel_matches_reference_vjp(self, rng, bh, n, d):
+        """The single-pass Pallas backward (the TPU bf16 train path) against
+        the XLA reference vjp, in interpret mode: exact up to f32 rounding
+        across query/key padding, whole-tile, and non-pow2 head dims."""
+        from xmir_tpu.ops.vit_attn_pallas import (
+            _attention_bwd_pallas,
+            _attention_fwd_pallas,
+        )
+
+        q, k, v, g = (
+            jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+            for _ in range(4)
+        )
+        sc = d**-0.5
+        _, vjp = jax.vjp(lambda q, k, v: _attention_reference(q, k, v, sc), q, k, v)
+        ref = vjp(g)
+        o = _attention_fwd_pallas(q, k, v, sc, interpret=True)
+        got = _attention_bwd_pallas(q, k, v, o, g, sc, interpret=True)
+        for a, b in zip(got, ref):
+            scale = float(jnp.max(jnp.abs(b))) or 1.0
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=3e-5
+            )
+
 
 class TestGroupedBias:
     """biased_attention_fused (the SwinV2 path): grouped CPB/shift-mask

@@ -389,6 +389,129 @@ def _attention_reference(q, k, v, sm_scale):
     return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                *, n_pad_extra, scale):
+    # Single-pass attention backward, same residency plan as _kernel: whole
+    # K/V panes live in VMEM across the query tiles of one head. Let
+    # p = softmax(sigma*q k^T), dp = g v^T, c = rowsum(p*dp). Then
+    #   dv = p^T g,  ds = p*(dp - c),  dq = sigma*ds@k,  dk = sigma*ds^T@q.
+    # Tricks that keep VPU work at two full-score passes (exp2 and one fused
+    # multiply-subtract), mirroring the forward's zero-masking design:
+    #   * c == rowsum(g*o) over the head dim (p v == o), so the saved forward
+    #     output turns a (tq, nk) reduction into a (tq, d) one;
+    #   * 1/z never touches the score matrix: p = e/z factors out of every
+    #     product, so z folds into the SMALL side of each matmul —
+    #     dq = (t@k)*(sigma/z) rowwise, dk += t^T(q*sigma/z), dv += e^T(g/z),
+    #     with t = e*(dp - c);
+    #   * no masking: zero-padded k/v rows make dp's pad columns and dq's
+    #     pad-column contributions exactly 0; zero-padded g rows make the
+    #     pad-row ds/dv contributions 0; garbage dq/dk/dv pad rows are
+    #     sliced off by the wrapper; z is pad-corrected analytically as in
+    #     the forward.
+    # dk/dv accumulate in f32 VMEM across the query-tile grid axis (their
+    # index map ignores t, so the block stays resident; t iterates fastest).
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    def body(i):
+        qs = q_ref[i] * jnp.asarray(scale * LOG2E, q_ref.dtype)
+        s = jnp.dot(qs, k_ref[i].T, preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp2(s - m)
+        z = jnp.sum(e, axis=-1, keepdims=True)
+        if n_pad_extra:
+            z = jnp.maximum(z - n_pad_extra * jnp.exp2(-m), 1e-30)
+        zinv = 1.0 / z
+        g32 = g_ref[i].astype(jnp.float32)
+        c = jnp.sum(g32 * o_ref[i].astype(jnp.float32), axis=-1, keepdims=True)
+        dp = jnp.dot(g_ref[i], v_ref[i].T, preferred_element_type=jnp.float32)
+        t = (e * (dp - c)).astype(q_ref.dtype)
+        eb = e.astype(q_ref.dtype)
+        dq = jnp.dot(t, k_ref[i], preferred_element_type=jnp.float32)
+        dq_ref[i] = (dq * (scale * zinv)).astype(dq_ref.dtype)
+        qz = (q_ref[i].astype(jnp.float32) * (scale * zinv)).astype(q_ref.dtype)
+        gz = (g32 * zinv).astype(g_ref.dtype)
+        dk_ref[i] += jnp.dot(t.T, qz, preferred_element_type=jnp.float32)
+        dv_ref[i] += jnp.dot(eb.T, gz, preferred_element_type=jnp.float32)
+
+    _row_loop(q_ref.shape[0], body)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def _attention_bwd_pallas(q, k, v, o, g, sm_scale: float, interpret: bool = False):
+    """Returns (dq, dk, dv) for out = softmax(sm_scale * q k^T) @ v given the
+    saved forward output o and the cotangent g. Tiling mirrors
+    _attention_fwd_pallas; dk/dv accumulate f32 and are cast to input dtype."""
+    bh, n, d = q.shape
+    if n <= 768 and n % 8 == 0:
+        nk_pad = nq_pad = tq = n
+    else:
+        nk_pad = _choose_nk_pad(n)
+        tq = nk_pad if nk_pad <= 768 else _choose_tile_q(n)
+        nq_pad = _round_up(n, tq)
+
+    itemsize = jnp.dtype(q.dtype).itemsize
+    d_eff = _round_up(d, 128)
+
+    def vmem_est(bb):
+        panes = 2 * 2 * bb * nk_pad * d_eff * itemsize        # k + v
+        tiles = 2 * 4 * bb * tq * d_eff * itemsize            # q, o, g, dq
+        accums = 2 * 2 * bb * nk_pad * d_eff * 4              # dk + dv f32
+        rows = bb if bb <= 8 else 2
+        scores = int(3.0 * tq * nk_pad * 4) * rows            # e, dp, t
+        return panes + tiles + accums + scores
+
+    bb = min(bh, _fold_cap())
+    while bb > 1 and vmem_est(bb) > 84 * 1024 * 1024:
+        bb -= 1
+    while bh % bb:
+        bb -= 1
+
+    def padq(t):  # query-axis padding (g MUST zero-pad for exactness)
+        return jnp.pad(t, ((0, 0), (0, nq_pad - n), (0, 0))) if nq_pad != n else t
+
+    def padk(t):
+        return jnp.pad(t, ((0, 0), (0, nk_pad - n), (0, 0))) if nk_pad != n else t
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_pad_extra=nk_pad - n, scale=sm_scale),
+        grid=(bh // bb, nq_pad // tq),
+        in_specs=[
+            pl.BlockSpec((bb, tq, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, nk_pad, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, nk_pad, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tq, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tq, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, tq, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, nk_pad, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, nk_pad, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * nq_pad * nk_pad * d,
+            bytes_accessed=9 * bh * n * d * itemsize,
+            transcendentals=bh * nq_pad * nk_pad,
+        ),
+        interpret=interpret,
+    )(padq(q), padk(k), padk(v), padq(o), padq(g))
+    return (
+        dq[:, :n],
+        dk[:, :n].astype(k.dtype),
+        dv[:, :n].astype(v.dtype),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def vit_attention_fused(q, k, v, sm_scale: float, interpret: bool = False):
     """softmax(q @ k^T * sm_scale) @ v, fused. q/k/v: (BH, N, D)."""
@@ -396,11 +519,24 @@ def vit_attention_fused(q, k, v, sm_scale: float, interpret: bool = False):
 
 
 def _fwd(q, k, v, sm_scale, interpret):
-    return _attention_fwd_pallas(q, k, v, sm_scale, interpret), (q, k, v)
+    out = _attention_fwd_pallas(q, k, v, sm_scale, interpret)
+    return out, (q, k, v, out)
 
 
 def _bwd(sm_scale, interpret, res, g):
-    q, k, v = res
+    """On TPU with bf16 inputs the backward runs the single-pass Pallas
+    kernel above (the dominant train-step cost once the forward is fused:
+    differentiating the XLA einsum reference materializes ~720 MB of f32
+    scores per layer at DINOv2 train batch 8, and even the stock flash
+    bwd kernels run 6.6x the fused forward). f32 inputs and non-TPU
+    backends keep the exact XLA recompute path (the Pallas kernels run
+    bf16 MXU passes — ~2e-3 rel error on f32 grads, unacceptable for the
+    f32 bit-parity policy; tests exercise the bwd kernel via interpret
+    mode through _attention_bwd_pallas directly)."""
+    q, k, v, out = res
+    if (not interpret and jax.default_backend() == "tpu"
+            and q.dtype == jnp.bfloat16):
+        return _attention_bwd_pallas(q, k, v, out, g, sm_scale)
     _, vjp = jax.vjp(lambda q, k, v: _attention_reference(q, k, v, sm_scale), q, k, v)
     return vjp(g)
 
