@@ -200,6 +200,58 @@ class TestGroupedBias:
         for a, b in zip(g, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
+    @pytest.mark.parametrize(
+        "bh,G,gs,n,d,cosine,smax",
+        [
+            (8, 2, 4, 144, 32, True, 100.0),  # swin-like: big logit scale
+            (6, 3, 2, 576, 32, True, 60.0),   # swin stage window shape
+            (8, 2, 4, 120, 32, False, 4.0),   # generic biased path
+        ],
+    )
+    def test_bwd_kernel_all_five_grads(self, rng, bh, G, gs, n, d, cosine, smax):
+        """The whole-window Pallas backward (SwinV2's bf16 train path)
+        against the reference vjp: dq/dk/dv through the cosine chain, dbias
+        group accumulation, and the alpha-identity dscale. The non-cosine
+        case carries more exp2-space rounding (see errors measured in
+        BENCHMARKS.md); dscale sums many cancelling terms, hence its own
+        tolerance."""
+        from xmir_tpu.ops.vit_attn_pallas import (
+            _biased_bwd_pallas,
+            _biased_fwd_pallas,
+            _biased_reference,
+        )
+
+        q, k, v, g = (
+            jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+            for _ in range(4)
+        )
+        bias = jnp.asarray(rng.standard_normal((G, n, n)), jnp.float32)
+        scale = jnp.asarray(rng.uniform(smax / 4, smax, (G,)), jnp.float32)
+        _, vjp = jax.vjp(
+            lambda q, k, v, b, s: _biased_reference(q, k, v, b, s, gs, cosine),
+            q, k, v, bias, scale,
+        )
+        ref = vjp(g)
+        o = _biased_fwd_pallas(q, k, v, bias, scale, gs, cosine, interpret=True)
+        got = _biased_bwd_pallas(
+            q, k, v, bias, scale, o, g, gs, cosine, interpret=True
+        )
+        tols = {"dq": 5e-5, "dk": 5e-5, "dv": 5e-5, "dbias": 5e-5, "dscale": 5e-4}
+        for a, b, nm in zip(got, ref, ("dq", "dk", "dv", "dbias", "dscale")):
+            sc_ = float(jnp.max(jnp.abs(b))) or 1.0
+            np.testing.assert_allclose(
+                np.asarray(a) / sc_, np.asarray(b) / sc_, atol=tols[nm],
+                err_msg=nm,
+            )
+
+    def test_bwd_eligibility_gate(self):
+        from xmir_tpu.ops.vit_attn_pallas import _biased_bwd_eligible
+
+        assert _biased_bwd_eligible(576, 512, 16, 32)     # swin stage
+        assert not _biased_bwd_eligible(140, 24, 6, 4)    # padded n
+        assert not _biased_bwd_eligible(800, 8, 2, 4)     # > whole-tile max
+        assert not _biased_bwd_eligible(96, 16, 2, 4)     # wrapping groups
+
 
 class TestModelDispatch:
     def test_vit_block_uses_kernel_under_flag(self, rng, monkeypatch):

@@ -144,11 +144,14 @@ class WindowAttentionV2(nn.Module):
             window_attention_fused,
         )
 
-        # the fused kernels gate out of training (VJP via XLA recompute only)
-        # and out of f32 compute (qkv carries the promoted dtype; f32 keeps
-        # the XLA path for checkpoint parity, as in vit.py/siglip.py)
-        if (not output_attentions and not train
-                and fused_attention_enabled(qkv.dtype)):
+        # f32 compute keeps the XLA path for checkpoint parity (qkv carries
+        # the promoted dtype), as in vit.py/siglip.py. Training uses the
+        # kernel too since round 3: its custom_vjp backward is the
+        # single-pass Pallas kernel (_bwd_kernel_biased) for bf16 on TPU —
+        # measured 36x the XLA recompute on the stage-2 window shape and
+        # closer to the f32 grad oracle than the bf16 XLA backward (the
+        # kernel keeps softmax and the cosine chain in f32 VMEM).
+        if not output_attentions and fused_attention_enabled(qkv.dtype):
             # fold shift masks into the bias, group rows as (window, head)
             # with the image batch minor, and run a fused VMEM-resident
             # kernel (no (BW, H, N, N) attention tensor ever reaches HBM)
@@ -157,7 +160,8 @@ class WindowAttentionV2(nn.Module):
             b_img = bw // nw
             qs = (qn * scale[None]).astype(qn.dtype)
 
-            if os.environ.get("XMIR_SWIN_KERNEL", "") == "v1":
+            # the kept-for-comparison v1 kernel has no vjp: eval only
+            if os.environ.get("XMIR_SWIN_KERNEL", "") == "v1" and not train:
                 total = bias[None].astype(jnp.float32)  # (1, H, N, N)
                 if mask is not None:
                     total = total + mask[:, None, :, :]  # (nw, H, N, N)

@@ -334,6 +334,173 @@ def _biased_fwd_pallas(q, k, v, bias, scale, g_size, cosine, interpret=False):
     return out[:, :n]
 
 
+def _bwd_kernel_biased(
+    q_ref, k_ref, v_ref, b_ref, s_ref, o_ref, g_ref,
+    dq_ref, dk_ref, dv_ref, db_ref, da_ref, *, cosine, bb, g_size, n_groups,
+):
+    # Whole-window (T==1, unpadded) backward for the grouped-bias kernel.
+    # Same identities as _bwd_kernel plus the Swin-specific chains:
+    #   * dbias_g = sum over the group's rows of ds = t/z — accumulated in
+    #     the resident (1, N, N) f32 block across the group's contiguous
+    #     grid steps (zeroed at each group's first step);
+    #   * dscale falls out FREE of the cosine chain's alpha term:
+    #     rowsum(dqhat*qhat) == scale * rowsum(ds*(qhat khat^T)), so
+    #     dscale_g = sum(alpha)/scale_g — the kernel emits one alpha total
+    #     per folded row and the wrapper segment-sums it; no extra
+    #     full-score pass;
+    #   * cosine q/k normalization backward: dq = (dqhat - qhat*alpha)/|q|
+    #     on the small (N, D) tiles (exact for the non-degenerate norms the
+    #     forward's 1e-12 floor never clips).
+    # One full-score VPU pass more than the plain backward (s2 = s_cos *
+    # scale + bias cannot fold the scale into q because s_cos is needed raw
+    # for nothing — only alpha — so it's just the bias add at fwd parity).
+    b_idx = pl.program_id(0)
+
+    @pl.when(b_idx * bb % g_size == 0)
+    def _init():
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    g = (b_idx * bb // g_size) % n_groups
+    sc = s_ref[g, 0]
+    bias = b_ref[0]
+
+    def body(i):
+        if cosine:
+            qf = q_ref[i].astype(jnp.float32)
+            kf = k_ref[i].astype(jnp.float32)
+            qinv = jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(qf * qf, axis=-1, keepdims=True), 1e-24)
+            )
+            kinv = jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(kf * kf, axis=-1, keepdims=True), 1e-24)
+            )
+            qh32, kh32 = qf * qinv, kf * kinv
+            qh = qh32.astype(q_ref.dtype)
+            kh = kh32.astype(k_ref.dtype)
+        else:
+            qh, kh = q_ref[i], k_ref[i]
+            qh32 = qh.astype(jnp.float32)
+        s_cos = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+        s2 = s_cos * (sc * LOG2E) + bias
+        m = jnp.max(s2, axis=-1, keepdims=True)
+        e = jnp.exp2(s2 - m)
+        zinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        g32 = g_ref[i].astype(jnp.float32)
+        c = jnp.sum(g32 * o_ref[i].astype(jnp.float32), axis=-1, keepdims=True)
+        dp = jnp.dot(g_ref[i], v_ref[i].T, preferred_element_type=jnp.float32)
+        t = e * (dp - c)
+        tb = t.astype(q_ref.dtype)
+        db_ref[0] += t * zinv
+        dqh = jnp.dot(tb, kh, preferred_element_type=jnp.float32) * (sc * zinv)
+        alpha = jnp.sum(dqh * qh32, axis=-1, keepdims=True)
+        da_ref[i] = jnp.broadcast_to(jnp.sum(alpha), da_ref.shape[1:])
+        if cosine:
+            dq_ref[i] = ((dqh - qh32 * alpha) * qinv).astype(dq_ref.dtype)
+        else:
+            dq_ref[i] = dqh.astype(dq_ref.dtype)
+        qz = (qh32 * (sc * zinv)).astype(q_ref.dtype)
+        dkh = jnp.dot(tb.T, qz, preferred_element_type=jnp.float32)
+        if cosine:
+            beta = jnp.sum(dkh * kh32, axis=-1, keepdims=True)
+            dk_ref[i] = ((dkh - kh32 * beta) * kinv).astype(dk_ref.dtype)
+        else:
+            dk_ref[i] = dkh.astype(dk_ref.dtype)
+        gz = (g32 * zinv).astype(g_ref.dtype)
+        dv_ref[i] = jnp.dot(
+            e.astype(q_ref.dtype).T, gz, preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+
+    _row_loop(q_ref.shape[0], body)
+
+
+def _biased_bwd_eligible(n: int, bh: int, G: int, g_size: int) -> bool:
+    """Whole-window tiles only (no q/k padding, no cross-tile dk/dv
+    accumulation) and non-wrapping contiguous groups (the dbias block is
+    revisited only across consecutive grid steps)."""
+    return n <= 768 and n % 8 == 0 and bh <= G * g_size
+
+
+@functools.partial(jax.jit, static_argnames=("g_size", "cosine", "interpret"))
+def _biased_bwd_pallas(q, k, v, bias, scale, o, g, g_size, cosine,
+                       interpret=False):
+    """Returns (dq, dk, dv, dbias, dscale) for the grouped-bias attention.
+    Caller must have checked _biased_bwd_eligible."""
+    bh, n, d = q.shape
+    G = bias.shape[0]
+    itemsize = jnp.dtype(q.dtype).itemsize
+    d_eff = _round_up(d, 128)
+
+    def vmem_est(bb):
+        tiles = 2 * 8 * bb * n * d_eff * itemsize  # q,k,v,o,g,dq,dk,dv
+        rows = bb if bb <= 8 else 2
+        scores = int(4.5 * n * n * 4) * rows       # s_cos, e, dp, t
+        bias_blks = 2 * 2 * n * n * 4              # bias in + dbias out
+        return tiles + scores + bias_blks
+
+    bb = min(g_size, bh, _fold_cap())
+    while bb > 1 and vmem_est(bb) > 84 * 1024 * 1024:
+        bb -= 1
+    while g_size % bb or bh % bb:
+        bb -= 1
+
+    bp = bias.astype(jnp.float32) * LOG2E
+    sp = scale.astype(jnp.float32).reshape(G, 1)
+
+    def group_idx(b, t, bb=bb, g_size=g_size, G=G):
+        return ((b * bb // g_size) % G, t, 0)
+
+    dq, dk, dv, dbias, alpha = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_biased, cosine=cosine, bb=bb, g_size=g_size,
+            n_groups=G,
+        ),
+        grid=(bh // bb, 1),
+        in_specs=[
+            pl.BlockSpec((bb, n, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), group_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bb, n, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, n, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), group_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 8, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), v.dtype),
+            jax.ShapeDtypeStruct((G, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 8, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * n * n * d,
+            bytes_accessed=9 * bh * n * d * itemsize + 2 * G * n * n * 4,
+            transcendentals=bh * n * n,
+        ),
+        interpret=interpret,
+    )(q, k, v, bp, sp, o, g)
+
+    gidx = (jnp.arange(bh) // g_size) % G
+    dscale = (
+        jax.ops.segment_sum(alpha[:, 0, 0], gidx, num_segments=G)
+        / scale.astype(jnp.float32).reshape(G)
+    )
+    return (
+        dq, dk, dv,
+        dbias.astype(bias.dtype),
+        dscale.reshape(scale.shape).astype(scale.dtype),
+    )
+
+
 def _biased_reference(q, k, v, bias, scale, g_size, cosine):
     bh = q.shape[0]
     G = bias.shape[0]
@@ -364,13 +531,23 @@ def biased_attention_fused(
 
 
 def _bfwd(q, k, v, bias, scale, g_size, cosine, interpret):
-    return _biased_fwd_pallas(q, k, v, bias, scale, g_size, cosine, interpret), (
-        q, k, v, bias, scale,
-    )
+    out = _biased_fwd_pallas(q, k, v, bias, scale, g_size, cosine, interpret)
+    return out, (q, k, v, bias, scale, out)
 
 
 def _bbwd(g_size, cosine, interpret, res, g):
-    q, k, v, bias, scale = res
+    """Same policy as the plain kernel's _bwd: on TPU with bf16 inputs run
+    the single-pass Pallas backward (SwinV2's XLA-recompute backward
+    materializes (heads*windows*B, N, N) f32 probs per layer); f32 and
+    non-TPU keep the exact XLA vjp. Shapes outside the whole-window/
+    contiguous-group envelope (never produced by the Swin models) also
+    fall back."""
+    q, k, v, bias, scale, out = res
+    if (not interpret and jax.default_backend() == "tpu"
+            and q.dtype == jnp.bfloat16
+            and _biased_bwd_eligible(q.shape[1], q.shape[0], bias.shape[0],
+                                     g_size)):
+        return _biased_bwd_pallas(q, k, v, bias, scale, out, g, g_size, cosine)
     _, vjp = jax.vjp(
         lambda q, k, v, bias, scale: _biased_reference(
             q, k, v, bias, scale, g_size, cosine
