@@ -246,6 +246,26 @@ def bench_towers(names):
     return out
 
 
+def bench_train_towers(names):
+    """fwd+bwd+Adam img/s (the reference train_epoch hot loop) via
+    tools/bench_towers.bench_train: bf16 mixed precision with the Pallas
+    attention backward. Fault-isolated per tower like bench_towers."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_towers import bench_train as tower_train
+
+    out = {}
+    for name in names:
+        if not name:
+            continue
+        try:
+            out[f"train_images_per_sec_{name}_bf16"] = round(tower_train(name), 1)
+        except Exception:
+            out[f"train_images_per_sec_{name}_bf16"] = None
+    return out
+
+
 def main():
     n_chips = jax.device_count()
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -274,6 +294,10 @@ def main():
             "XMIR_BENCH_TOWERS", "dinov2,convnextv2,swinv2"
         ).split(",")
         towers = bench_towers(names)
+        train_names = os.environ.get(
+            "XMIR_BENCH_TRAIN", "densenet121,dinov2,swinv2"
+        ).split(",")
+        towers.update(bench_train_towers(train_names))
 
     per_chip_target = TARGET_QPS_V5E8 / 8.0 * n_chips
     result = {

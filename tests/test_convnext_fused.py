@@ -107,6 +107,13 @@ class TestTrainingGate:
                    for l in jax.tree_util.tree_leaves(g))
 
     def test_swin_train_gate(self, rng, monkeypatch):
+        """Round-3 policy: training DOES take the fused biased kernel (its
+        custom_vjp backward is the Pallas kernel on TPU, the exact XLA vjp
+        elsewhere); only the v1 kernel (no vjp) stays eval-only. Forced-on
+        gate + v1 requested: the train path must skip v1, route through
+        biased_attention_fused, and produce finite grads."""
+        import xmir_tpu.models.swin as swin_mod
+        import xmir_tpu.ops.vit_attn_pallas as vap
         import xmir_tpu.ops.window_attn_pallas as wap
         from xmir_tpu.models.swin import SwinV2Block
 
@@ -114,15 +121,27 @@ class TestTrainingGate:
         x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)), jnp.float32)
         v = blk.init(jax.random.PRNGKey(0), x)
         monkeypatch.setenv("XMIR_FUSED_ATTN", "1")
+        monkeypatch.setenv("XMIR_SWIN_KERNEL", "v1")
 
         def boom(*a, **k):
-            raise AssertionError("fused attention must not run under train=True")
+            raise AssertionError("the vjp-less v1 kernel must not run in train")
 
         monkeypatch.setattr(wap, "window_attention_fused", boom)
+        calls = []
+
+        def biased_stub(q, k, v_, bias, scale, g_size, cosine, interpret=False):
+            calls.append(True)  # CPU cannot compile the kernel; use the ref
+            return vap._biased_reference(q, k, v_, bias, scale, g_size, cosine)
+
+        monkeypatch.setattr(
+            swin_mod, "biased_attention_fused", biased_stub, raising=False
+        )
+        monkeypatch.setattr(vap, "biased_attention_fused", biased_stub)
 
         def loss(p):
             return jnp.sum(blk.apply({"params": p}, x, train=True) ** 2)
 
         g = jax.grad(loss)(v["params"])
+        assert calls, "train must route through the biased fused path"
         assert all(np.isfinite(np.asarray(l)).all()
                    for l in jax.tree_util.tree_leaves(g))

@@ -115,7 +115,12 @@ def bench_train(
     from xmir_tpu.train.state import create_train_state
     from xmir_tpu.train.steps import make_embedding_train_step
 
-    model, spec = create_model(name, embedding_dim=128)
+    try:
+        model, spec = create_model(name, embedding_dim=128)
+    except TypeError:
+        # dual-encoder embedders (medsiglip/conceptclip) fix their own
+        # projection width; fine-tune them at it
+        model, spec = create_model(name)
     b = batch or BATCHES.get(name, (16, 8))[1]
     rng = np.random.default_rng(0)
     x = jnp.asarray(
