@@ -17,10 +17,14 @@ Query rows are padded to the tile size (masked rows produce garbage that is
 sliced off); key columns are padded to the 128-lane and masked to -inf
 before the softmax, so real-row outputs are exact.
 
-Backward: jax.custom_vjp with an XLA-recompute backward (differentiate the
-reference einsum attention). Serving/eval take the kernel; the train step's
-backward runs the standard XLA path — exact, and training these towers is
-never the serving hot path.
+Backward (round 3): jax.custom_vjp whose bf16-on-TPU path is a single-pass
+Pallas backward with the same residency plan (_bwd_kernel for the plain
+towers, _bwd_kernel_biased for SwinV2's grouped-bias/cosine variant —
+whole-window tiles only). f32 inputs, interpret mode, and non-TPU backends
+recompute-and-differentiate the XLA einsum reference instead: exact, and
+required by the f32 checkpoint-parity policy. Measured impact and the
+kernel-level identities are documented in BENCHMARKS.md ("Train-step
+throughput") and DESIGN.md §11.
 
 Reference role: the HF/timm eager attention inside the reference's towers
 (model.py:448-533); behavior identical to softmax(qk^T * scale) @ v.
