@@ -134,6 +134,19 @@ class TestDualBranchStep:
         assert losses[-1] < losses[0]
         assert "contrastive" in m and "asl" in m
 
+        # bf16 mixed precision: f32 master state, loss still decreases
+        state = create_train_state(model, jax.random.PRNGKey(0), x, tx)
+        step16 = jax.jit(
+            make_dual_branch_train_step(model, compute_dtype=jnp.bfloat16)
+        )
+        l16 = []
+        for _ in range(25):
+            state, m = step16(state, x, labels)
+            l16.append(float(m["loss"]))
+        assert l16[-1] < l16[0]
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.dtype == jnp.float32
+
 
 class TestShardedStep:
     def test_dp_matches_single_device(self, rng):
@@ -154,6 +167,56 @@ class TestShardedStep:
         xs = jax.device_put(x, batch_sharding(mesh))
         ls = jax.device_put(labels, batch_sharding(mesh))
         state_b = jax.device_put(state_b, replicated(mesh))
+        state_b, mb = jax.jit(step)(state_b, xs, ls)
+
+        np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), atol=1e-5)
+        for pa, pb in zip(
+            jax.tree_util.tree_leaves(state_a.params),
+            jax.tree_util.tree_leaves(state_b.params),
+        ):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
+
+    def test_fsdp_matches_replicated(self, rng):  # noqa: D401
+        """FSDP/ZeRO-3 shardings (params + Adam moments sharded over `data`)
+        must produce the same training trajectory as plain DP — GSPMD's
+        all-gather-at-use + reduce-scatter is semantically the DDP
+        all-reduce — while actually sharding the large leaves."""
+        import flax.linen as nn
+        from xmir_tpu.parallel import fsdp_state_shardings
+
+        class _Wide(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                h = nn.Dense(512, name="wide")(x.reshape(x.shape[0], -1))
+                h = nn.relu(h)
+                h = nn.Dense(16, name="out")(h)
+                return {"embedding": h / jnp.maximum(
+                    jnp.linalg.norm(h, axis=1, keepdims=True), 1e-12)}
+
+        model = _Wide()
+        x, labels = _cluster_batch(rng, b=16, d=128, classes=4)
+        # SGD keeps the comparison linear in the gradients: Adam's
+        # m/(sqrt(v)+eps) normalization would amplify the reduce-scatter's
+        # float-reduction-order noise on near-zero moments into ~1e-4
+        # param deltas after one step
+        tx = optax.sgd(1e-2)
+        state_a = create_train_state(model, jax.random.PRNGKey(0), x, tx)
+        state_b = jax.tree_util.tree_map(lambda a: a, state_a)
+        step = make_embedding_train_step(model, "supcon")
+
+        state_a, ma = jax.jit(step)(state_a, x, labels)
+
+        mesh = make_mesh()
+        shardings = fsdp_state_shardings(state_b, mesh, min_size=4096)
+        state_b = jax.device_put(state_b, shardings)
+        # the (128, 512) Dense kernel and its Adam moments must be sharded
+        n_sharded = sum(
+            1 for l in jax.tree_util.tree_leaves(state_b)
+            if hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+        )
+        assert n_sharded >= 1, n_sharded  # at least the (128, 512) kernel
+        xs = jax.device_put(x, batch_sharding(mesh))
+        ls = jax.device_put(labels, batch_sharding(mesh))
         state_b, mb = jax.jit(step)(state_b, xs, ls)
 
         np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), atol=1e-5)
@@ -299,6 +362,21 @@ class TestConceptCLIPStep:
         state, m = step(state, pix, ids, mask, cids, cmask)
         assert np.isfinite(float(m["loss"]))
         assert float(m["it_loss"]) > 0 and float(m["rc_loss"]) >= 0
+
+        # bf16 mixed precision: same step, f32 master state, close loss
+        state16 = create_train_state(model, jax.random.PRNGKey(0), None, tx,
+                                     variables=variables)
+        step16 = jax.jit(
+            make_conceptclip_train_step(model, alpha=0.5,
+                                        compute_dtype=jnp.bfloat16)
+        )
+        state16, m16 = step16(state16, pix, ids, mask, cids, cmask)
+        for leaf in jax.tree_util.tree_leaves(state16.params):
+            assert leaf.dtype == jnp.float32
+        # rtol: the un-clamped init logit_scale (exp(6) ~ 400) amplifies
+        # bf16 rounding into ~1% of the sigmoid loss
+        np.testing.assert_allclose(float(m16["loss"]), float(m["loss"]),
+                                   rtol=0.03)
         # post-step clamp (reference train.py:361-367)
         assert float(state.params["logit_scale"]) <= 4.6052 + 1e-6
 
@@ -335,6 +413,20 @@ class TestDistillStep:
             state, m = step(state, x, labels)
             distills.append(float(m["distill"]))
         assert distills[-1] < distills[0]  # student pulled toward teacher
+
+        # bf16 mixed precision variant of the same pull
+        state = create_train_state(model, jax.random.PRNGKey(0), None,
+                                   optax.adam(5e-2), variables=variables)
+        step16 = jax.jit(make_distill_train_step(
+            model, "triplet_hard", distill_weight=1.0,
+            compute_dtype=jnp.bfloat16))
+        d16 = []
+        for _ in range(20):
+            state, m = step16(state, x, labels)
+            d16.append(float(m["distill"]))
+        assert d16[-1] < d16[0]
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.dtype == jnp.float32
 
 
 class TestTensorParallel:

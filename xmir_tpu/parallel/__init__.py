@@ -3,6 +3,7 @@ from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    fsdp_state_shardings,
     gallery_sharding,
     make_mesh,
     replicate_tree,
