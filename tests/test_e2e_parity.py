@@ -159,3 +159,77 @@ class TestEndToEndConvertedWeights:
                 )
 
         assert_tree_equal(m_t, m_x)
+
+
+class TestEndToEndViTConvertedWeights:
+    def test_cross_stack_vit_bicubic(self):
+        """Same chain for the ViT/DINOv2 family: non-square sources through
+        PIL BICUBIC Resize(short)+CenterCrop (the timm DINOv2 eval config,
+        reference test.py:1297-1306) + a timm-layout torch ViT vs the xmir
+        host decode (interpolation="bicubic") + convert_vit_timm weights ->
+        ViTBackbone cls embeddings. Pins the round-3 aspect-preserving /
+        per-spec-interpolation decode against a second backbone family and
+        the LayerNorm tower converter."""
+        from PIL import Image
+
+        from xmir_tpu.models.convert import convert_vit_timm
+        from xmir_tpu.models.vit import ViTBackbone
+        from test_convert_convnext_vit import _TorchViT
+
+        imgs, labels = _synthetic_images(n=12, seed=5)
+        torch.manual_seed(7)
+        tm = _TorchViT(img=28, patch=14, dim=32, depth=2, heads=4).eval()
+        # timm's LayerScale init (1e-5) leaves a random 2-block tower's cls
+        # output input-INDEPENDENT (every image embeds identically, making
+        # neighbour order meaningless); set the scales to 1 so the blocks
+        # actually mix image content, as trained checkpoints do
+        with torch.no_grad():
+            for blk in tm.blocks:
+                blk.ls1.gamma.fill_(1.0)
+                blk.ls2.gamma.fill_(1.0)
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+        def tv_bicubic(arr, size):
+            img = Image.fromarray(arr)
+            w, h = img.size
+            short, long = (h, w) if h <= w else (w, h)
+            new_short, new_long = size, int(size * long / short)
+            nh, nw = (new_short, new_long) if h <= w else (new_long, new_short)
+            img = img.resize((nw, nh), Image.BICUBIC)
+            top = int(round((nh - size) / 2.0))
+            left = int(round((nw - size) / 2.0))
+            return np.asarray(
+                img.crop((left, top, left + size, top + size)), np.uint8
+            )
+
+        t_in = np.stack([tv_bicubic(a, 28) for a in imgs])
+        t_norm = ((t_in.astype(np.float32) / 255.0 - MEAN) / STD).astype(np.float32)
+        with torch.no_grad():
+            t_cls, _ = tm(torch.tensor(t_norm.transpose(0, 3, 1, 2)))
+        t_emb = _l2(t_cls.numpy())
+
+        ds = _ListDataset(imgs, labels)
+        u8, got_labels, _ = _decode_batch(
+            ds, list(range(len(imgs))), 28, interpolation="bicubic"
+        )
+        np.testing.assert_array_equal(got_labels, labels)
+        # host already produced the 28x28 crop; the device resize is a no-op
+        x = eval_preprocess(u8, 28, 28, MEAN, STD, method="bicubic")
+        variables = convert_vit_timm(sd, depth=2)
+        out = ViTBackbone(
+            img_size=28, patch_size=14, dim=32, depth=2, num_heads=4
+        ).apply(variables, jnp.asarray(x))
+        x_emb = _l2(np.asarray(out["cls"]))
+
+        # measured cross-stack agreement: host decode EXACTLY equals the
+        # PIL bicubic oracle (uint8-identical), embeddings to ~5e-7
+        np.testing.assert_allclose(x_emb, t_emb, atol=1e-4)
+
+        def sims(e):
+            return np.asarray(
+                fill_diagonal_neg_inf(jnp.asarray(e @ e.T, jnp.float32))
+            )
+
+        order_t = np.argsort(-sims(t_emb), axis=1)[:, :5]
+        order_x = np.argsort(-sims(x_emb), axis=1)[:, :5]
+        np.testing.assert_array_equal(order_x, order_t)
