@@ -83,9 +83,12 @@ class TestConvNeXtFusedBlock:
 
 
 class TestTrainingGate:
-    def test_train_path_is_differentiable_and_skips_kernel(self, rng, monkeypatch):
-        """The custom kernels have no VJP: train=True must take the XLA path
-        even when fused mode is force-enabled."""
+    def test_train_path_is_differentiable_and_uses_fused_block(
+        self, rng, monkeypatch
+    ):
+        """Round-3 policy: train=True routes through convnext_block_fused
+        (now a custom_vjp with a Pallas tail backward) and grads flow."""
+        import xmir_tpu.models.convnext as cnx_mod
         import xmir_tpu.ops.convnext_block_pallas as cbp
         from xmir_tpu.models.convnext import ConvNeXtV2Block
 
@@ -93,16 +96,32 @@ class TestTrainingGate:
         x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)), jnp.float32)
         v = blk.init(jax.random.PRNGKey(0), x)
         monkeypatch.setenv("XMIR_FUSED_MLP", "1")
+        # the tiny 8x8 test shape is below the measured win threshold;
+        # force the train-path gate open to test the routing itself
+        import xmir_tpu.ops.convnext_block_pallas as _cbp
+        monkeypatch.setattr(_cbp, "fused_train_wins", lambda r, c, c4: True)
+        calls = []
 
-        def boom(*a, **k):
-            raise AssertionError("fused kernel must not run under train=True")
+        def fused_stub(x, dwk, dwb, lns, lnb, w1, b1, w2, b2, g, be,
+                       interpret=False):
+            calls.append(True)  # CPU cannot compile the kernel; jnp replica
+            h = cbp._dwconv(x, dwk, dwb)
+            b_, hh, ww, c = x.shape
+            t = cbp._tail_reference(
+                h.reshape(b_, hh * ww, c), lns, lnb, w1, b1, w2, g, be
+            ) + b2
+            return x + t.reshape(b_, hh, ww, c).astype(x.dtype)
 
-        monkeypatch.setattr(cbp, "convnext_mlp_grn_fused", boom)
+        monkeypatch.setattr(
+            cnx_mod, "convnext_block_fused", fused_stub, raising=False
+        )
+        monkeypatch.setattr(cbp, "convnext_block_fused", fused_stub)
 
         def loss(p):
             return jnp.sum(blk.apply({"params": p}, x, train=True) ** 2)
 
         g = jax.grad(loss)(v["params"])
+        assert calls, "train must route through the fused block"
         assert all(np.isfinite(np.asarray(l)).all()
                    for l in jax.tree_util.tree_leaves(g))
 
@@ -145,3 +164,63 @@ class TestTrainingGate:
         assert calls, "train must route through the biased fused path"
         assert all(np.isfinite(np.asarray(l)).all()
                    for l in jax.tree_util.tree_leaves(g))
+
+
+class TestBlockBackwardKernel:
+    def test_all_eleven_grads_match_reference_vjp(self, rng):
+        """convnext_block_fused's custom_vjp (per-image Pallas tail backward,
+        dwconv backward on XLA) against jax.vjp of the jnp replica, interpret
+        mode: exact to f32 rounding for every input and parameter grad."""
+        from xmir_tpu.ops.convnext_block_pallas import (
+            _dwconv,
+            _tail_reference,
+            convnext_block_fused,
+        )
+
+        B, H, W, C = 2, 8, 8, 16
+        C4 = 4 * C
+        r = rng
+
+        def arr(*s, scale=1.0):
+            return jnp.asarray(r.standard_normal(s) * scale, jnp.float32)
+
+        x = arr(B, H, W, C)
+        args = (
+            x, arr(7, 7, C, scale=0.1), arr(C, scale=0.1),
+            arr(C, scale=0.2) + 1.0, arr(C, scale=0.1),
+            arr(C, C4, scale=C ** -0.5), arr(C4, scale=0.1),
+            arr(C4, C, scale=C4 ** -0.5), arr(C, scale=0.1),
+            arr(C4, scale=0.2), arr(C4, scale=0.1),
+        )
+
+        def ref(x, dwk, dwb, lns, lnb, w1, b1, w2, b2, gamma, beta):
+            h = _dwconv(x, dwk, dwb)
+            b_, hh, ww, c = x.shape
+            t = _tail_reference(
+                h.reshape(b_, hh * ww, c), lns, lnb, w1, b1, w2, gamma, beta
+            ) + b2
+            return x + t.reshape(b_, hh, ww, c).astype(x.dtype)
+
+        def loss_k(*a):
+            return 0.5 * jnp.sum(
+                convnext_block_fused(*a, True).astype(jnp.float32) ** 2
+            )
+
+        def loss_r(*a):
+            return 0.5 * jnp.sum(ref(*a).astype(jnp.float32) ** 2)
+
+        gk = jax.grad(loss_k, argnums=tuple(range(11)))(*args)
+        gr = jax.grad(loss_r, argnums=tuple(range(11)))(*args)
+        for a, b in zip(gk, gr):
+            sc = float(jnp.max(jnp.abs(b))) or 1.0
+            np.testing.assert_allclose(
+                np.asarray(a) / sc, np.asarray(b) / sc, atol=5e-5
+            )
+
+    def test_vmem_eligibility_gate(self):
+        from xmir_tpu.ops.convnext_block_pallas import _tail_bwd_eligible
+
+        assert _tail_bwd_eligible(576, 512, 2048)    # stage 3 @ 384px
+        assert _tail_bwd_eligible(2304, 256, 1024)   # stage 2
+        assert _tail_bwd_eligible(144, 1024, 4096)   # stage 4
+        assert not _tail_bwd_eligible(9216, 128, 512)  # stage 1: 75+ MB live

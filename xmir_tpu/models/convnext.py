@@ -89,11 +89,19 @@ class ConvNeXtV2Block(nn.Module):
         from ..ops.convnext_block_pallas import (
             convnext_block_fused,
             fused_mlp_enabled,
+            fused_train_wins,
         )
 
-        # the fused kernel has no VJP — inference only; training keeps the
-        # differentiable XLA path
-        if fused_mlp_enabled(x.dtype) and not train:
+        # round 3: the fused block is differentiable (custom_vjp whose
+        # backward recomputes the LN/MLP/GRN tail in a per-image Pallas
+        # kernel). Inference always fuses; training fuses only at shapes
+        # where the Pallas backward measured FASTER than XLA's
+        # saved-intermediate backward (see fused_train_wins) — elsewhere the
+        # plain XLA block remains the best train path.
+        r = x.shape[1] * x.shape[2]
+        if fused_mlp_enabled(x.dtype) and (
+            not train or fused_train_wins(r, self.dim, 4 * self.dim)
+        ):
             return convnext_block_fused(
                 x, dw_kernel.reshape(7, 7, self.dim), dw_bias,
                 ln_scale, ln_bias,
