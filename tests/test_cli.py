@@ -203,6 +203,23 @@ class TestTrainCLI:
         ):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    def test_fsdp_mesh_train_smoke(self, tmp_path):
+        """--use-mesh --fsdp on the 8-device CPU mesh: params + Adam moments
+        shard over the data axis and training still checkpoints a valid
+        state."""
+        from xmir_tpu.cli import train as train_cli
+
+        train_cli.main([
+            "--dataset", "synthetic", "--model", "tiny",
+            "--embedding-dim", "16", "--labels-per-batch", "2",
+            "--samples-per-label", "8", "--epochs", "1",
+            "--eval-freq", "100", "--ckpt-every", "1", "--workers", "2",
+            "--lr", "0.01", "--seed", "3", "--save-dir", str(tmp_path),
+            "--use-mesh", "--fsdp",
+        ])
+        ckpt = tmp_path / "synthetic_tiny_embed_16_seed_3_epoch_1_ckpt.msgpack"
+        assert ckpt.exists()
+
     def test_nonfinite_loss_aborts(self, tmp_path):
         """Emergency halt on divergence (reference train.py:332-336)."""
         from xmir_tpu.cli import train as train_cli

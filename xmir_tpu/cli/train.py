@@ -50,6 +50,10 @@ def parse_args(argv=None):
     p.add_argument("--freeze-backbone", action="store_true")
     p.add_argument("--use-mesh", action="store_true",
                    help="Shard batches over all local devices (data parallel)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="With --use-mesh: also shard params + optimizer "
+                        "state over the data axis (ZeRO-3; per-device "
+                        "param/Adam memory scales 1/n_devices)")
     p.add_argument("--metrics-log", default="",
                    help="Append per-step/eval metrics as JSONL (observability)")
     p.add_argument("--bf16", action="store_true", help="bf16 mixed precision (AMP equivalent: f32 master params, bf16 compute)")
@@ -172,11 +176,17 @@ def main(argv=None):
 
     mesh = None
     if args.use_mesh:
-        from ..parallel import batch_sharding, make_mesh, replicated
+        from ..parallel import (
+            batch_sharding, fsdp_state_shardings, make_mesh, replicated,
+        )
 
         mesh = make_mesh()
-        state = jax.device_put(state, replicated(mesh))
-        print(f">> data-parallel over {mesh.shape} mesh")
+        if args.fsdp:
+            state = jax.device_put(state, fsdp_state_shardings(state, mesh))
+            print(f">> FSDP (params+opt sharded) over {mesh.shape} mesh")
+        else:
+            state = jax.device_put(state, replicated(mesh))
+            print(f">> data-parallel over {mesh.shape} mesh")
 
     batch_size = args.batch_size or args.labels_per_batch * args.samples_per_label
     multilabel = is_multilabel(args.dataset)
