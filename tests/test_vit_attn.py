@@ -251,6 +251,8 @@ class TestGroupedBias:
         assert not _biased_bwd_eligible(140, 24, 6, 4)    # padded n
         assert not _biased_bwd_eligible(800, 8, 2, 4)     # > whole-tile max
         assert not _biased_bwd_eligible(96, 16, 2, 4)     # wrapping groups
+        # empty trailing group: its dbias block would never be initialized
+        assert not _biased_bwd_eligible(96, 2, 2, 2)
 
 
 class TestModelDispatch:

@@ -145,15 +145,18 @@ def main(argv=None):
             ids, mask = tok.encode_padded(texts, args.seq_len)
             cids = np.zeros((len(texts), w_c, lc), np.int32)
             cmask = np.zeros((len(texts), w_c), bool)
+            ctok_mask = np.zeros((len(texts), w_c, lc), bool)
             for i, cl in enumerate(concept_lists):
                 for j, cname in enumerate(cl):
-                    e, _ = tok.encode_padded([cname], lc)
+                    e, m = tok.encode_padded([cname], lc)
                     cids[i, j] = e[0]
+                    ctok_mask[i, j] = m[0]
                     cmask[i, j] = True
             x = eval_preprocess(imgs, resize, s, SIGLIP_MEAN, SIGLIP_STD)
             state, last = step(
                 state, x, jnp.asarray(ids), jnp.asarray(mask),
                 jnp.asarray(cids), jnp.asarray(cmask),
+                jnp.asarray(ctok_mask),
             )
             if bi % args.print_freq == 0:
                 print(f"epoch {epoch} step {bi}: loss {float(last['loss']):.4f} "

@@ -138,12 +138,9 @@ def _block_fused_fwd(
     c4 = w1.shape[1]
     r = hh * ww
 
-    h = jax.lax.conv_general_dilated(
-        x, dw_kernel.reshape(7, 7, 1, c).astype(x.dtype),
-        window_strides=(1, 1), padding=((3, 3), (3, 3)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    ) + dw_bias.astype(x.dtype)
+    # the SAME _dwconv the backward differentiates — one definition, so the
+    # custom_vjp forward and its vjp cannot silently diverge
+    h = _dwconv(x, dw_kernel, dw_bias)
 
     def img_spec():
         return pl.BlockSpec((1, r, c), lambda i: (i, 0, 0),

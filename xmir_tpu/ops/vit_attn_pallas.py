@@ -13,9 +13,10 @@ Layout: the caller folds (batch, heads) into one leading axis,
   q, k, v : (BH, N, D)
 and the grid (BH/bb, T) keeps each head's K/V pane resident across all its
 query tiles (the tile axis varies fastest; the K/V index map ignores it).
-Query rows are padded to the tile size (masked rows produce garbage that is
-sliced off); key columns are padded to the 128-lane and masked to -inf
-before the softmax, so real-row outputs are exact.
+Query rows are padded to the tile size (their garbage outputs are sliced
+off); zero-padded key columns need NO masking pass — they score exactly 0
+and their denominator contribution is removed analytically (see _kernel),
+so real-row outputs are exact.
 
 Backward (round 3): jax.custom_vjp whose bf16-on-TPU path is a single-pass
 Pallas backward with the same residency plan (_bwd_kernel for the plain
@@ -38,7 +39,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = float("-inf")
 LOG2E = 1.4426950408889634  # softmax in exp2 space: exp(x) == exp2(x*log2e)
 
 
@@ -123,7 +123,7 @@ def _choose_tile_q(n: int) -> int:
             best = tq
             break
     base = _round_up(n, 128)
-    if best is not None and n8 <= 1.05 * base:
+    if best is not None:  # n8 <= base always, so a divisor is always taken
         return best
     for tq in (512, 256):
         if _round_up(n, tq) <= 1.15 * base:
@@ -419,9 +419,12 @@ def _bwd_kernel_biased(
 
 def _biased_bwd_eligible(n: int, bh: int, G: int, g_size: int) -> bool:
     """Whole-window tiles only (no q/k padding, no cross-tile dk/dv
-    accumulation) and non-wrapping contiguous groups (the dbias block is
-    revisited only across consecutive grid steps)."""
-    return n <= 768 and n % 8 == 0 and bh <= G * g_size
+    accumulation) and EXACTLY one contiguous run of rows per group: with
+    bh < G*g_size a trailing group gets zero grid steps, so its dbias
+    output block would never be zero-initialized (uninitialized HBM as
+    gradient); with bh > G*g_size groups wrap and revisit their dbias
+    block non-consecutively. Swin's folds always satisfy equality."""
+    return n <= 768 and n % 8 == 0 and bh == G * g_size
 
 
 @functools.partial(jax.jit, static_argnames=("g_size", "cosine", "interpret"))

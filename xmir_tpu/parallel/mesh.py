@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -50,9 +51,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(x, mesh: Mesh):
     """Pad the batch to a multiple of the data-axis size and device_put it
-    sharded. Returns (sharded_array, real_batch_size)."""
-    import jax.numpy as jnp
+    sharded. Returns (sharded_array, real_batch_size).
 
+    INFERENCE-ONLY helper: the caller must slice outputs back to
+    real_batch_size. Do NOT feed the padded batch to a training loss — the
+    zero rows would be treated as real label-0 samples (the train CLIs use
+    drop_last batching and device_put unpadded batches instead)."""
     n_data = mesh.shape[DATA_AXIS]
     b = x.shape[0]
     pad = (-b) % n_data
@@ -102,7 +106,8 @@ def fsdp_state_shardings(tree, mesh: Mesh, min_size: int = 65536):
 
     def rule(x):
         if (not hasattr(x, "shape") or n_data <= 1 or x.ndim < 1
-                or x.size < min_size):
+                or x.size < min_size
+                or not jnp.issubdtype(x.dtype, jnp.floating)):
             return replicated(mesh)
         for ax in sorted(range(x.ndim), key=lambda i: -x.shape[i]):
             if x.shape[ax] % n_data == 0:

@@ -189,7 +189,8 @@ def make_conceptclip_train_step(model, alpha: float = 0.5, compute_dtype=jnp.flo
     (padded (B, W, Lc) token ids reduced to embeddings host-side is NOT done —
     concepts are encoded in-graph through the text tower)."""
 
-    def step(state, pixel_values, input_ids, attention_mask, concept_ids, concept_mask):
+    def step(state, pixel_values, input_ids, attention_mask, concept_ids,
+             concept_mask, concept_token_mask=None):
         pixel_values = pixel_values.astype(compute_dtype)
 
         def losses(params):
@@ -200,8 +201,17 @@ def make_conceptclip_train_step(model, alpha: float = 0.5, compute_dtype=jnp.flo
             )
             b, w, lc = concept_ids.shape
             flat_ids = concept_ids.reshape(b * w, lc)
+            # concept names are padded to lc tokens: without a per-token
+            # mask, [PAD] positions would participate in self-attention and
+            # pollute the CLS concept embedding (HF supplies this mask in
+            # the reference, train.py:221-397). Default: BERT's [PAD] id 0.
+            flat_tok_mask = (
+                concept_token_mask.reshape(b * w, lc)
+                if concept_token_mask is not None
+                else (flat_ids != 0)
+            )
             flat_feats = model.apply(
-                variables, flat_ids, None, method=model.encode_text
+                variables, flat_ids, flat_tok_mask, method=model.encode_text
             )
             concept_feats = flat_feats.reshape(b, w, -1)
             total, it, rc = conceptclip_loss(
