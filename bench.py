@@ -295,7 +295,7 @@ def main():
         ).split(",")
         towers = bench_towers(names)
         train_names = os.environ.get(
-            "XMIR_BENCH_TRAIN", "densenet121,dinov2,swinv2"
+            "XMIR_BENCH_TRAIN", "densenet121,convnextv2,dinov2,swinv2"
         ).split(",")
         towers.update(bench_train_towers(train_names))
 
