@@ -165,6 +165,58 @@ class TestShardedSearch:
         np.testing.assert_array_equal(np.asarray(ids), bi)
 
 
+class TestShardedPallasDispatch:
+    """The deployment shape (VERDICT r3 #1): the sharded search path must run
+    the SAME fused Pallas kernel the meshless path serves with, composed under
+    shard_map. On the CPU mesh the kernel runs in interpret mode; results must
+    be bit-identical to the XLA tiled_topk path."""
+
+    def _both_modes(self, monkeypatch, q, g, k, metric, mesh):
+        outs = {}
+        for mode in ("0", "interpret"):
+            monkeypatch.setenv("XMIR_GALLERY_PALLAS", mode)
+            idx = ShardedGalleryIndex(g.shape[1], metric=metric)
+            idx.add(g)
+            idx.build(mesh)
+            v, i = idx.search(q, k=k)
+            outs[mode] = (np.asarray(v), np.asarray(i))
+        return outs
+
+    @pytest.mark.parametrize("metric", ["cosine", "ip", "l2", "hamming"])
+    def test_sharded_pallas_bitmatches_xla(self, rng, monkeypatch, metric):
+        g = rng.standard_normal((333, 48)).astype(np.float32)
+        q = rng.standard_normal((6, 48)).astype(np.float32)
+        outs = self._both_modes(monkeypatch, q, g, 10, metric, make_mesh())
+        (xv, xi), (pv, pi) = outs["0"], outs["interpret"]
+        np.testing.assert_array_equal(pi, xi)
+        np.testing.assert_allclose(pv, xv, rtol=1e-5, atol=1e-5)
+
+    def test_sharded_pallas_uneven_and_k_over_shard(self, rng, monkeypatch):
+        # 67 rows over 8 shards -> last shard holds 3 real rows; k=12 exceeds
+        # the 9-row shards, exercising both the validity mask and the padding
+        g = rng.standard_normal((67, 32)).astype(np.float32)
+        q = rng.standard_normal((4, 32)).astype(np.float32)
+        outs = self._both_modes(monkeypatch, q, g, 12, "cosine", make_mesh())
+        (xv, xi), (pv, pi) = outs["0"], outs["interpret"]
+        np.testing.assert_array_equal(pi, xi)
+        np.testing.assert_allclose(pv, xv, rtol=1e-5, atol=1e-5)
+        bv, bi = brute(q, g, 12)
+        np.testing.assert_array_equal(pi, bi)
+
+    def test_meshless_interpret_matches_brute(self, rng, monkeypatch):
+        # the same env knob drives the meshless path through the kernel
+        g = rng.standard_normal((130, 24)).astype(np.float32)
+        q = rng.standard_normal((3, 24)).astype(np.float32)
+        monkeypatch.setenv("XMIR_GALLERY_PALLAS", "interpret")
+        idx = ShardedGalleryIndex(24)
+        idx.add(g)
+        idx.build()
+        v, i = idx.search(q, k=5)
+        bv, bi = brute(q, g, 5)
+        np.testing.assert_array_equal(np.asarray(i), bi)
+        np.testing.assert_allclose(np.asarray(v), bv, atol=1e-5)
+
+
 class TestInfo:
     def test_info_diagnostics(self, data):
         q, g, labels, paths = data

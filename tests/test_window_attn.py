@@ -117,9 +117,10 @@ class TestPlainFlashGating:
     included); numerics are checked on real TPU in the verify drive
     (max |diff| ~2e-3 at bf16)."""
 
-    def test_disabled_on_cpu(self):
+    def test_disabled_on_cpu(self, monkeypatch):
         from xmir_tpu.ops.plain_attn import plain_flash_enabled
 
+        monkeypatch.delenv("XMIR_FLASH_ATTN", raising=False)
         assert not plain_flash_enabled(jnp.bfloat16, 1024)
 
     def test_env_force(self, monkeypatch):
@@ -133,6 +134,9 @@ class TestPlainFlashGating:
     def test_enabled_for_all_lengths_on_tpu_bf16(self, monkeypatch):
         from xmir_tpu.ops import plain_attn
 
+        # immune to ambient env (e.g. a prior dryrun_multichip in the same
+        # process): the gate must hold on its defaults, not inherited state
+        monkeypatch.delenv("XMIR_FLASH_ATTN", raising=False)
         monkeypatch.setattr(
             plain_attn.jax, "default_backend", lambda: "tpu"
         )
@@ -148,6 +152,7 @@ class TestPlainFlashGating:
         # including under the env force
         from xmir_tpu.ops import plain_attn
 
+        monkeypatch.delenv("XMIR_FLASH_ATTN", raising=False)
         monkeypatch.setattr(plain_attn.jax, "default_backend", lambda: "tpu")
         assert not plain_attn.plain_flash_enabled(jnp.bfloat16, 20000)
         monkeypatch.setenv("XMIR_FLASH_ATTN", "1")

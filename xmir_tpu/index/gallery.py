@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.topk import exclude_self_topk, tiled_topk
-from ..ops.topk_pallas import fused_topk
+from ..ops.topk_pallas import fused_topk, fused_topk_masked
 from ..parallel.mesh import DATA_AXIS, gallery_sharding
 
 _DISTANCE_CONVERSIONS = {
@@ -41,6 +41,25 @@ def _use_pallas() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def _kernel_mode() -> str:
+    """Search-kernel dispatch for BOTH the meshless and the sharded path.
+
+    Returns 'pallas' (compiled fused kernel — the TPU deployment shape),
+    'interpret' (fused kernel in interpret mode — CPU meshes: tests and the
+    driver's multichip dryrun), or 'xla' (lax.scan tiled_topk).
+    XMIR_GALLERY_PALLAS overrides: '0' -> xla, 'interpret' -> interpret,
+    '1' -> pallas; unset -> pallas on TPU else xla.
+    """
+    flag = os.environ.get("XMIR_GALLERY_PALLAS", "")
+    if flag == "0":
+        return "xla"
+    if flag == "interpret":
+        return "interpret"
+    if flag == "1":
+        return "pallas"
+    return "pallas" if _use_pallas() else "xla"
 
 
 class ShardedGalleryIndex:
@@ -135,12 +154,13 @@ class ShardedGalleryIndex:
         queries = jnp.asarray(queries, self.dtype)
         fetch = k + 1 if exclude_ids is not None else k
         fetch = min(fetch, self._n)
+        mode = _kernel_mode()
         if self._mesh is not None:
-            vals, idxs = self._search_sharded(queries, fetch)
-        elif _use_pallas():
+            vals, idxs = self._search_sharded(queries, fetch, mode)
+        elif mode != "xla":
             vals, idxs = fused_topk(
                 queries, self._device_embeds, fetch, self.metric,
-                compute_dtype=self.dtype,
+                compute_dtype=self.dtype, interpret=(mode == "interpret"),
             )
         else:
             vals, idxs = tiled_topk(
@@ -151,11 +171,19 @@ class ShardedGalleryIndex:
             vals, idxs = exclude_self_topk(vals, idxs, exclude_ids, k)
         return vals, idxs
 
-    def _search_sharded(self, queries, k: int):
+    def _search_sharded(self, queries, k: int, mode: str = "xla"):
         """Per-shard local top-k via shard_map, then a tiny cross-shard merge.
 
         No (Q, N) matrix and no full-gallery gather ever materializes; the
         inter-device traffic is exactly n_dev * Q * k (value, index) pairs.
+
+        ``mode`` selects the per-shard local search kernel: 'pallas' runs the
+        fused Pallas similarity+top-K (the TPU deployment shape — the same
+        kernel the meshless path serves with, composed under shard_map),
+        'interpret' the same kernel in interpret mode (CPU meshes), 'xla' the
+        lax.scan tiled_topk. Results are identical across modes; shard-local
+        validity of the padded last shard rides the kernel's per-row score
+        bias (ops/topk_pallas.py::fused_topk_masked).
         """
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -165,6 +193,7 @@ class ShardedGalleryIndex:
         shard_rows = self._device_embeds.shape[0] // n_dev
         n_real = self._n
         metric = self.metric
+        compute_dtype = self.dtype
 
         def local_search(q, g_shard):
             # g_shard: (shard_rows, D); compute local validity from shard id
@@ -172,10 +201,22 @@ class ShardedGalleryIndex:
             base = shard_id * shard_rows
             valid = jnp.clip(n_real - base, 0, shard_rows)
             kk = min(k, shard_rows)
-            vals, idxs = tiled_topk(
-                q, g_shard, kk, metric=metric, valid_count=valid,
-                pvary_axis=DATA_AXIS,
-            )
+            if mode != "xla":
+                # queries enter replicated (P() in_spec) while the gallery
+                # shard is device-varying; mark them varying so the kernel's
+                # mixed inputs type-check under shard_map's vma tracking
+                qv = jax.lax.pcast(q, (DATA_AXIS,), to="varying")
+                vals, idxs = fused_topk_masked(
+                    qv, g_shard, kk, valid, metric,
+                    compute_dtype=compute_dtype,
+                    interpret=(mode == "interpret"),
+                    out_vma=(DATA_AXIS,),
+                )
+            else:
+                vals, idxs = tiled_topk(
+                    q, g_shard, kk, metric=metric, valid_count=valid,
+                    pvary_axis=DATA_AXIS,
+                )
             if kk < k:  # pad so every shard returns k candidates
                 pad = k - kk
                 vals = jnp.concatenate(

@@ -214,7 +214,10 @@ def _topk_kernel_pruned(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile_q", "tile_g", "interpret", "compute_dtype", "algorithm"),
+    static_argnames=(
+        "k", "tile_q", "tile_g", "interpret", "compute_dtype", "algorithm",
+        "out_vma",
+    ),
 )
 def fused_topk_scores(
     queries: jnp.ndarray,
@@ -226,6 +229,7 @@ def fused_topk_scores(
     interpret: bool = False,
     compute_dtype=jnp.float32,
     algorithm: str = "auto",
+    out_vma: tuple = (),
 ):
     """Core fused kernel on dot-product+bias scores.
 
@@ -240,6 +244,10 @@ def fused_topk_scores(
     algorithm: "pruned" (exact, lane-pruned merge — fastest, k <= 128),
     "merge" (exact K-pass merge every tile), or "auto" (pruned when k <= 128).
     Both are exact; they differ only in VPU work per score.
+
+    out_vma: mesh axis names the outputs vary over — required when calling
+    from inside ``shard_map`` with vma checking on (the sharded gallery
+    search); pallas_call outputs otherwise carry no vma and fail the check.
     """
     q_n, d = queries.shape
     n_real = gallery.shape[0]
@@ -322,8 +330,8 @@ def fused_topk_scores(
             pl.BlockSpec((tile_q, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.float32, vma=frozenset(out_vma)),
+            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32, vma=frozenset(out_vma)),
         ],
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
@@ -339,6 +347,69 @@ def fused_topk_scores(
         interpret=interpret,
     )(qp, gp, bp)
     return vals[:q_n, :k], idxs[:q_n, :k]
+
+
+def fused_topk_masked(
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    k: int,
+    valid_count,
+    metric: str = "cosine",
+    tile_q: int = 512,
+    tile_g: int = 2048,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+    algorithm: str = "auto",
+    out_vma: tuple = (),
+):
+    """fused_topk with a traced per-call validity count.
+
+    Rows >= ``valid_count`` are treated as padding (score -inf, never
+    selected) — the shard-local form the sharded gallery search needs, where
+    the last mesh shard may be partially filled (index/gallery.py). The mask
+    rides the kernel's existing per-gallery-row score bias, so the Pallas
+    kernels themselves are untouched; ``valid_count`` may be a traced scalar
+    (e.g. derived from ``lax.axis_index`` inside shard_map).
+
+    When k exceeds ``valid_count``, trailing slots return value -inf with
+    index 0 — identical to ops.topk.tiled_topk's valid_count semantics, so
+    the cross-shard merge can filter them uniformly.
+    """
+    n = gallery.shape[0]
+    mask_bias = jnp.where(
+        jnp.arange(n) < valid_count, jnp.float32(0), jnp.float32(NEG_INF)
+    )
+    if metric == "cosine":
+        q = queries / jnp.maximum(jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
+        g = gallery / jnp.maximum(jnp.linalg.norm(gallery, axis=-1, keepdims=True), 1e-12)
+        return fused_topk_scores(q, g, mask_bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm, out_vma)
+    if metric == "ip":
+        return fused_topk_scores(queries, gallery, mask_bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm, out_vma)
+    if metric == "l2":
+        gsq = jnp.sum(gallery.astype(jnp.float32) ** 2, axis=-1)
+        vals, idxs = fused_topk_scores(
+            queries, gallery, mask_bias - gsq / 2.0, k,
+            tile_q, tile_g, interpret, compute_dtype, algorithm, out_vma,
+        )
+        # recompute true negative-L2 on the gathered top-K, preserving the
+        # -inf markers of sub-k slots (invalid/padded rows gather row 0's
+        # embedding, which must not leak a finite score into the merge)
+        gsel = jnp.take(gallery, idxs, axis=0)
+        diff = queries[:, None, :].astype(jnp.float32) - gsel.astype(jnp.float32)
+        true_vals = -jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+        return jnp.where(jnp.isneginf(vals), vals, true_vals), idxs
+    if metric == "hamming":
+        sq = jnp.where(queries >= 0, 1.0, -1.0).astype(jnp.float32)
+        sg = jnp.where(gallery >= 0, 1.0, -1.0).astype(jnp.float32)
+        vals, idxs = fused_topk_scores(
+            sq, sg, mask_bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm,
+            out_vma,
+        )
+        d = queries.shape[-1]
+        # -(d - (-inf)) / 2 == -inf: the padding markers survive the affine
+        # transform, so no extra masking is needed here
+        return -(d - vals) / 2.0, idxs
+    raise ValueError(f"unknown metric {metric!r}")
 
 
 def fused_topk(
