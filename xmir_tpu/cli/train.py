@@ -84,6 +84,11 @@ def select_loss(args) -> str:
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.fsdp and not args.use_mesh:
+        raise SystemExit(
+            "--fsdp shards params over the mesh data axis and requires "
+            "--use-mesh; asked-for ZeRO-3 would otherwise be silently ignored"
+        )
     np.random.seed(args.seed)
 
     train_ds = build_dataset(args, "train")

@@ -402,7 +402,10 @@ def _block_vjp_bwd(interpret, res, dy):
     h = h.reshape(b, r, c)
     dyf = dy.reshape(b, r, c)
     db2 = jnp.sum(dyf.astype(jnp.float32), axis=(0, 1))
-    use_kernel = (not interpret and jax.default_backend() == "tpu"
+    from .vit_attn_pallas import pallas_bwd_enabled
+
+    use_kernel = (not interpret and pallas_bwd_enabled()
+                  and jax.default_backend() == "tpu"
                   and x.dtype == jnp.bfloat16 and _tail_bwd_eligible(r, c, c4))
     if use_kernel or interpret:
         (dacc, dlns, dlnb, dw1, db1, dw2, dg, dbe) = _tail_bwd_pallas(

@@ -46,6 +46,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def pallas_bwd_enabled() -> bool:
+    """Backward-only kill switch: XMIR_PALLAS_BWD=0 routes custom-vjp
+    backwards to the exact XLA-recompute path WITHOUT disabling the proven
+    fused forwards (the forward flags XMIR_FLASH_ATTN/XMIR_FUSED_ATTN/
+    XMIR_FUSED_MLP kill both directions). Escape hatch for a misreported
+    backend (the axon plugin says 'tpu' on virtual meshes) or a suspect
+    bwd kernel. Read at trace time, like the forward gates."""
+    import os
+
+    return os.environ.get("XMIR_PALLAS_BWD", "1") != "0"
+
+
 def _fold_cap() -> int:
     """Rows folded per grid step. <=8 unrolls (best pipelining); >8 switches
     _row_loop to a rolled lax.fori_loop (compiles flat, reuses one score
@@ -54,10 +66,12 @@ def _fold_cap() -> int:
     the unroll's cross-row MXU/VPU overlap beats the fewer grid steps, so
     8 stays the default; the knob exists to re-measure on new shapes/libtpu.
     Read once per trace: processes that change XMIR_ATTN_FOLD after a shape
-    has been jitted keep the cached executable."""
+    has been jitted keep the cached executable. Clamped to [1, 32]: the vmem
+    estimator models the rolled loop's single reused score buffer, and an
+    unvalidated huge fold could overshoot the scoped-VMEM budget it guards."""
     import os
 
-    return max(int(os.environ.get("XMIR_ATTN_FOLD", "8")), 1)
+    return min(max(int(os.environ.get("XMIR_ATTN_FOLD", "8")), 1), 32)
 
 
 def _row_loop(bb: int, body):
@@ -550,7 +564,8 @@ def _bbwd(g_size, cosine, interpret, res, g):
     contiguous-group envelope (never produced by the Swin models) also
     fall back."""
     q, k, v, bias, scale, out = res
-    if (not interpret and jax.default_backend() == "tpu"
+    if (not interpret and pallas_bwd_enabled()
+            and jax.default_backend() == "tpu"
             and q.dtype == jnp.bfloat16
             and _biased_bwd_eligible(q.shape[1], q.shape[0], bias.shape[0],
                                      g_size)):
@@ -703,6 +718,10 @@ def vit_attention_fused(q, k, v, sm_scale: float, interpret: bool = False):
 
 
 def _fwd(q, k, v, sm_scale, interpret):
+    # The forward output rides the residuals unconditionally; paths that take
+    # the XLA-recompute backward (f32 train, non-TPU, XMIR_PALLAS_BWD=0)
+    # carry an unused (BH, N, D) tensor per layer — accepted: those configs
+    # are parity/debug paths, not the bf16 production train step.
     out = _attention_fwd_pallas(q, k, v, sm_scale, interpret)
     return out, (q, k, v, out)
 
@@ -718,7 +737,8 @@ def _bwd(sm_scale, interpret, res, g):
     f32 bit-parity policy; tests exercise the bwd kernel via interpret
     mode through _attention_bwd_pallas directly)."""
     q, k, v, out = res
-    if (not interpret and jax.default_backend() == "tpu"
+    if (not interpret and pallas_bwd_enabled()
+            and jax.default_backend() == "tpu"
             and q.dtype == jnp.bfloat16):
         return _attention_bwd_pallas(q, k, v, out, g, sm_scale)
     _, vjp = jax.vjp(lambda q, k, v: _attention_reference(q, k, v, sm_scale), q, k, v)
