@@ -380,6 +380,57 @@ class TestConceptCLIPStep:
         # post-step clamp (reference train.py:361-367)
         assert float(state.params["logit_scale"]) <= 4.6052 + 1e-6
 
+        # deduped concept encoding (unique + gather) must reproduce the
+        # undeduped step exactly: same loss AND same post-step params
+        # (duplicate rows encode identically; their grads sum via the gather)
+        from xmir_tpu.train import dedupe_concept_batch
+
+        rng2 = np.random.default_rng(7)
+        # force duplicates: concepts drawn from a 3-name vocabulary
+        vocab_rows = rng2.integers(1, 50, (3, lc))
+        pick = rng2.integers(0, 3, (b, w_c))
+        cids_dup = jnp.asarray(vocab_rows[pick])
+        # SGD lr=1 so (params_before - params_after) IS the gradient;
+        # comparing post-Adam params would amplify float noise on zero-grad
+        # leaves (adam's g/|g| is +-1 for any nonzero g) into +-lr
+        sgd = optax.sgd(1.0)
+        state_a = create_train_state(model, jax.random.PRNGKey(0), None, sgd,
+                                     variables=variables)
+        state_b = create_train_state(model, jax.random.PRNGKey(0), None, sgd,
+                                     variables=variables)
+        before = jax.tree_util.tree_leaves(state_a.params)
+        step_a = jax.jit(make_conceptclip_train_step(model, alpha=0.5))
+        step_b = jax.jit(make_conceptclip_train_step(model, alpha=0.5,
+                                                     dedupe_concepts=True))
+        state_a, ma = step_a(state_a, pix, ids, mask, cids_dup, cmask)
+        u_ids, u_mask, inverse = dedupe_concept_batch(np.asarray(cids_dup))
+        assert u_ids.shape[0] == 8  # 3 unique rows bucketed up to 8
+        state_b, mb = step_b(
+            state_b, pix, ids, mask, jnp.asarray(u_ids), cmask,
+            jnp.asarray(u_mask), jnp.asarray(inverse),
+        )
+        # identical forward: duplicate rows encode identically
+        np.testing.assert_allclose(float(mb["loss"]), float(ma["loss"]),
+                                   rtol=1e-6)
+        # identical grads up to summation-order rounding (the gather backward
+        # sums duplicate cotangents BEFORE the encode vjp; the undeduped path
+        # sums the per-row vjps after). Tolerance scales with each leaf's own
+        # gradient magnitude: leaves whose true grad is ~0 (e.g. attention
+        # key bias, softmax shift-invariant) are pure float noise in BOTH
+        # paths and carry no signal.
+        grads = [
+            (np.asarray(p0) - np.asarray(la), np.asarray(p0) - np.asarray(lb))
+            for p0, la, lb in zip(
+                before,
+                jax.tree_util.tree_leaves(state_a.params),
+                jax.tree_util.tree_leaves(state_b.params),
+            )
+        ]
+        gscale = max(float(np.abs(ga).max()) for ga, _ in grads)
+        for ga, gb in grads:
+            tol = max(5e-3 * float(np.abs(ga).max()), 1e-6 * gscale)
+            np.testing.assert_allclose(gb, ga, atol=tol)
+
 
 class TestDistillStep:
     def test_distill_decreases(self, rng):

@@ -44,6 +44,9 @@ def main(argv=None):
     p.add_argument("--text-depth", default=12, type=int)
     p.add_argument("--vocab-size", default=30000, type=int)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--no-dedupe-concepts", action="store_true",
+                   help="encode every (b, w) concept slot per step like the "
+                        "reference instead of unique concepts + gather")
     p.add_argument("--print-freq", default=5, type=int)
     p.add_argument("--save", default="./checkpoints/conceptclip.msgpack")
     args = p.parse_args(argv)
@@ -51,7 +54,12 @@ def main(argv=None):
     from ..data import batch_iterator, eval_preprocess
     from ..data.tokenizer import HashWordTokenizer
     from ..models.registry import SIGLIP_MEAN, SIGLIP_STD
-    from ..train import build_optimizer, create_train_state, make_conceptclip_train_step
+    from ..train import (
+        build_optimizer,
+        create_train_state,
+        dedupe_concept_batch,
+        make_conceptclip_train_step,
+    )
     from ..utils import save_checkpoint
 
     if args.dataset == "vindr":
@@ -124,6 +132,7 @@ def main(argv=None):
         make_conceptclip_train_step(
             model, alpha=args.rc_alpha,
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            dedupe_concepts=not args.no_dedupe_concepts,
         )
     )
 
@@ -153,11 +162,19 @@ def main(argv=None):
                     ctok_mask[i, j] = m[0]
                     cmask[i, j] = True
             x = eval_preprocess(imgs, resize, s, SIGLIP_MEAN, SIGLIP_STD)
-            state, last = step(
-                state, x, jnp.asarray(ids), jnp.asarray(mask),
-                jnp.asarray(cids), jnp.asarray(cmask),
-                jnp.asarray(ctok_mask),
-            )
+            if args.no_dedupe_concepts:
+                state, last = step(
+                    state, x, jnp.asarray(ids), jnp.asarray(mask),
+                    jnp.asarray(cids), jnp.asarray(cmask),
+                    jnp.asarray(ctok_mask),
+                )
+            else:
+                u_ids, u_mask, inverse = dedupe_concept_batch(cids, ctok_mask)
+                state, last = step(
+                    state, x, jnp.asarray(ids), jnp.asarray(mask),
+                    jnp.asarray(u_ids), jnp.asarray(cmask),
+                    jnp.asarray(u_mask), jnp.asarray(inverse),
+                )
             if bi % args.print_freq == 0:
                 print(f"epoch {epoch} step {bi}: loss {float(last['loss']):.4f} "
                       f"(it {float(last['it_loss']):.4f}, "

@@ -7,6 +7,7 @@ from .optim import (
 )
 from .steps import (
     LOSS_FNS,
+    dedupe_concept_batch,
     make_conceptclip_train_step,
     make_distill_train_step,
     make_dual_branch_train_step,

@@ -26,6 +26,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..losses import (
     asymmetric_loss,
@@ -183,14 +184,78 @@ def make_distill_train_step(
     return step
 
 
-def make_conceptclip_train_step(model, alpha: float = 0.5, compute_dtype=jnp.float32):
+def dedupe_concept_batch(concept_ids, concept_token_mask=None, bucket: int = 8):
+    """Host-side unique-ing of per-sample concept token rows.
+
+    The reference encodes every (b, w) concept string through the text tower
+    each step (train.py:175-218) even though VinDr concepts come from a fixed
+    22-name vocabulary — most of that text-tower work is redundant. Returns
+    (unique_ids (U, Lc), unique_token_mask (U, Lc), inverse (B, W) int32)
+    with U padded up to a multiple of ``bucket`` (bounds jit recompiles to a
+    handful of U shapes). Padded rows are all-[PAD] and unreferenced by
+    ``inverse``, so they carry zero gradient. Feed to a step built with
+    ``make_conceptclip_train_step(..., dedupe_concepts=True)``.
+    """
+    concept_ids = np.asarray(concept_ids)
+    b, w, lc = concept_ids.shape
+    flat = concept_ids.reshape(b * w, lc)
+    uniq, first, inverse = np.unique(
+        flat, axis=0, return_index=True, return_inverse=True
+    )
+    u = uniq.shape[0]
+    cap = -(-u // bucket) * bucket
+    unique_ids = np.zeros((cap, lc), flat.dtype)
+    unique_ids[:u] = uniq
+    if concept_token_mask is not None:
+        flat_mask = np.asarray(concept_token_mask).reshape(b * w, lc)
+        unique_mask = np.zeros((cap, lc), flat_mask.dtype)
+        unique_mask[:u] = flat_mask[first]
+    else:
+        unique_mask = unique_ids != 0
+    return unique_ids, unique_mask, inverse.reshape(b, w).astype(np.int32)
+
+
+def make_conceptclip_train_step(model, alpha: float = 0.5,
+                                compute_dtype=jnp.float32,
+                                dedupe_concepts: bool = False):
     """IT-Align + alpha*RC-Align on the dual encoder (train.py:221-397).
     Batch: pixel_values, input_ids, attention_mask, concept tensors
     (padded (B, W, Lc) token ids reduced to embeddings host-side is NOT done —
-    concepts are encoded in-graph through the text tower)."""
+    concepts are encoded in-graph through the text tower).
+
+    dedupe_concepts=True swaps the concept inputs for the deduped form
+    produced by ``dedupe_concept_batch``: (unique_ids (U, Lc),
+    unique_token_mask (U, Lc), concept_inverse (B, W)) — the text tower runs
+    U<=22 forwards per step instead of B*W, and the (B, W, D) concept
+    features are a gather. Loss and gradients are exactly those of the
+    undeduped step (duplicate rows encode identically; their gradients sum
+    through the gather), pinned by tests/test_train.py."""
+
+    def concept_feats_from(variables, concept_ids, concept_token_mask):
+        b, w, lc = concept_ids.shape
+        flat_ids = concept_ids.reshape(b * w, lc)
+        # concept names are padded to lc tokens: without a per-token
+        # mask, [PAD] positions would participate in self-attention and
+        # pollute the CLS concept embedding (HF supplies this mask in
+        # the reference, train.py:221-397). Default: BERT's [PAD] id 0.
+        flat_tok_mask = (
+            concept_token_mask.reshape(b * w, lc)
+            if concept_token_mask is not None
+            else (flat_ids != 0)
+        )
+        flat_feats = model.apply(
+            variables, flat_ids, flat_tok_mask, method=model.encode_text
+        )
+        return flat_feats.reshape(b, w, -1)
+
+    def concept_feats_deduped(variables, unique_ids, unique_tok_mask, inverse):
+        unique_feats = model.apply(
+            variables, unique_ids, unique_tok_mask, method=model.encode_text
+        )  # (U, D)
+        return jnp.take(unique_feats, inverse, axis=0)  # (B, W, D)
 
     def step(state, pixel_values, input_ids, attention_mask, concept_ids,
-             concept_mask, concept_token_mask=None):
+             concept_mask, concept_token_mask=None, concept_inverse=None):
         pixel_values = pixel_values.astype(compute_dtype)
 
         def losses(params):
@@ -199,21 +264,14 @@ def make_conceptclip_train_step(model, alpha: float = 0.5, compute_dtype=jnp.flo
                 variables, pixel_values, input_ids, attention_mask,
                 method=model.forward_clip,
             )
-            b, w, lc = concept_ids.shape
-            flat_ids = concept_ids.reshape(b * w, lc)
-            # concept names are padded to lc tokens: without a per-token
-            # mask, [PAD] positions would participate in self-attention and
-            # pollute the CLS concept embedding (HF supplies this mask in
-            # the reference, train.py:221-397). Default: BERT's [PAD] id 0.
-            flat_tok_mask = (
-                concept_token_mask.reshape(b * w, lc)
-                if concept_token_mask is not None
-                else (flat_ids != 0)
-            )
-            flat_feats = model.apply(
-                variables, flat_ids, flat_tok_mask, method=model.encode_text
-            )
-            concept_feats = flat_feats.reshape(b, w, -1)
+            if dedupe_concepts:
+                concept_feats = concept_feats_deduped(
+                    variables, concept_ids, concept_token_mask, concept_inverse
+                )
+            else:
+                concept_feats = concept_feats_from(
+                    variables, concept_ids, concept_token_mask
+                )
             total, it, rc = conceptclip_loss(
                 out["image_features"].astype(jnp.float32),
                 out["text_features"].astype(jnp.float32),
