@@ -373,3 +373,71 @@ class TestYoloDecode:
         )
         assert len(dets) == 1 and dets[0]["class_name"] == "x"
         assert abs(dets[0]["x1"] - 20) <= 4 and abs(dets[0]["y2"] - 60) <= 4
+
+
+class TestRerankVectorizedOracle:
+    """The batched region scoring (one matmul + segment-max,
+    _region_score_rows) must reproduce the reference-shaped per-candidate
+    loop (_rerank_one_query) exactly on randomized lesion maps."""
+
+    def _random_maps(self, rng, n, d=8, lesions=("cardiomegaly", "nodule")):
+        from xmir_tpu.chestmir.two_stage import build_lesion_map
+
+        maps = []
+        for _ in range(n):
+            regions = []
+            for name in lesions:
+                for _ in range(int(rng.integers(0, 3))):
+                    regions.append(
+                        {"label": name, "vector": rng.standard_normal(d)}
+                    )
+            maps.append(build_lesion_map(regions))
+        return maps
+
+    @pytest.mark.parametrize("mode", ["specific", "adaptive"])
+    def test_matches_per_query_loop(self, rng, mode):
+        from xmir_tpu.chestmir.two_stage import (
+            _rerank_one_query,
+            choose_query_adaptive_lesion_vector,
+            choose_query_lesion_vector,
+            rerank_with_adaptive_lesion,
+            rerank_with_specific_lesion,
+            similarity_to_ranks,
+        )
+
+        n = 24
+        maps = self._random_maps(rng, n)
+        e = rng.standard_normal((n, 8))
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        sim = e @ e.T
+        if mode == "specific":
+            got, stats = rerank_with_specific_lesion(
+                sim, maps, "cardiomegaly", rerank_topk=7, global_weight=0.6
+            )
+        else:
+            got, stats = rerank_with_adaptive_lesion(
+                sim, maps, ["cardiomegaly", "nodule"], rerank_topk=7,
+                global_weight=0.6,
+            )
+        ranks_base = similarity_to_ranks(sim)
+        reranked = 0
+        for i in range(n):
+            if mode == "specific":
+                lesion = "cardiomegaly"
+                q_vec = choose_query_lesion_vector(maps[i], lesion)
+            else:
+                lesion, q_vec = choose_query_adaptive_lesion_vector(
+                    maps[i], ["cardiomegaly", "nodule"]
+                )
+            if q_vec is None:
+                np.testing.assert_array_equal(got[:, i], ranks_base[:, i])
+                continue
+            want, matched, _ = _rerank_one_query(
+                i, sim, ranks_base[:, i], maps, q_vec, lesion, 7, 0.6
+            )
+            if want is None:
+                np.testing.assert_array_equal(got[:, i], ranks_base[:, i])
+            else:
+                reranked += 1
+                np.testing.assert_array_equal(got[:, i], want)
+        assert stats["queries_reranked"] == reranked > 0

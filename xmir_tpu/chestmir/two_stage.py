@@ -101,6 +101,88 @@ def _rerank_one_query(
     return np.asarray(new_top + tail, np.int64), matched, topk
 
 
+def _region_bank(lesion_maps, key: str):
+    """Pad every image's region vectors for one canonical lesion into a
+    (N, L, D) tensor + per-image region counts — the batched form of the
+    reference's per-candidate Python region lists."""
+    counts = np.array([len(m.get(key, [])) for m in lesion_maps])
+    l_max = int(counts.max(initial=0))
+    if l_max == 0:
+        return None
+    d = next(
+        len(m[key][0]) for m in lesion_maps if m.get(key)
+    )
+    pad = np.zeros((len(lesion_maps), l_max, d), np.float64)
+    for j, m in enumerate(lesion_maps):
+        for l, v in enumerate(m.get(key, [])):
+            pad[j, l] = v
+    return pad, counts
+
+
+def _region_scores_topk(
+    q_mat: np.ndarray, top_idx: np.ndarray, bank, chunk: int = 256
+) -> np.ndarray:
+    """max-region-cosine of query r against its own top-K candidates.
+
+    q_mat (Nq, D), top_idx (Nq, K) gallery ids. One padded gather + einsum
+    + masked max per query chunk replaces the reference's per-(query,
+    candidate) Python loop over region lists (chestmir_eval.py:507-577's
+    max(np.dot(...))), and only the K candidates that the rerank will look
+    at are ever scored. Candidates without the lesion get the reference's
+    -1.0 sentinel. Returns (Nq, K).
+    """
+    nq, k = top_idx.shape
+    out = np.full((nq, k), -1.0)
+    if bank is None:
+        return out
+    pad, counts = bank
+    n, l_max, d = pad.shape
+    # per-query flat ROW gather + one matvec: numpy's row gather is a
+    # memcpy per 6KB vector, ~1000x faster than a 4-D advanced-index
+    # gather of the same data (measured 0.23s vs 254s at N=3000, K=50)
+    pad2 = pad.reshape(n * l_max, d)
+    offs = np.arange(l_max)
+    for i in range(nq):
+        idx = top_idx[i]
+        rows = (idx[:, None] * l_max + offs).reshape(-1)
+        s = (pad2[rows] @ q_mat[i]).reshape(k, l_max)
+        c = counts[idx]
+        s[offs[None, :] >= c[:, None]] = -np.inf
+        out[i] = np.where(c > 0, s.max(axis=1), -1.0)
+    return out
+
+
+def _rerank_one_query_scored(
+    i: int,
+    base_sim: np.ndarray,
+    base_rank: np.ndarray,
+    region_row: np.ndarray,
+    rerank_topk: int,
+    global_weight: float,
+):
+    """_rerank_one_query on a precomputed (topk,) region-score row aligned
+    with base_rank[:topk]; identical semantics (matched counts scores >= 0;
+    stable (score, base_sim) descending order; None when nothing in the
+    top-K has the lesion)."""
+    n = base_sim.shape[0]
+    topk = min(rerank_topk, n - 1)
+    top_idx = base_rank[:topk]
+    rs = region_row[:topk]
+    matched = int((rs >= 0.0).sum())
+    if matched == 0:
+        return None, 0, topk
+    base = base_sim[top_idx, i].astype(np.float64)
+    score = global_weight * base + (1.0 - global_weight) * rs
+    # reference: stable sort desc by (score, base) — combined.sort(
+    # key=..., reverse=True); lexsort on negated keys is the same order
+    order = np.lexsort((-base, -score))
+    new_top = top_idx[order]
+    in_top = np.zeros(n, dtype=bool)
+    in_top[new_top] = True
+    tail = base_rank[~in_top[base_rank]]
+    return np.concatenate([new_top, tail]).astype(np.int64), matched, topk
+
+
 def rerank_with_specific_lesion(
     base_sim: np.ndarray,
     lesion_maps: Sequence[dict],
@@ -110,20 +192,30 @@ def rerank_with_specific_lesion(
 ):
     """(reference chestmir_eval.py:507-577). Returns (ranks (N, N), stats)."""
     n = base_sim.shape[0]
+    key = canonical_lesion_name(lesion_name)
     ranks_base = similarity_to_ranks(base_sim)
     ranks_new = np.empty_like(ranks_base)
     stats = _new_stats(lesion=lesion_name, rerank_topk=rerank_topk,
                        global_weight=global_weight, n=n)
+    topk = min(rerank_topk, n - 1)
+    q_rows = [i for i in range(n)
+              if choose_query_lesion_vector(lesion_maps[i], key) is not None]
+    region = None
+    if q_rows:
+        q_mat = np.stack([lesion_maps[i][key][0] for i in q_rows])
+        region = _region_scores_topk(
+            q_mat, ranks_base[:topk, q_rows].T, _region_bank(lesion_maps, key)
+        )
+    row_of = {i: r for r, i in enumerate(q_rows)}
     for i in range(n):
         base_rank = ranks_base[:, i]
-        q_vec = choose_query_lesion_vector(lesion_maps[i], lesion_name)
-        if q_vec is None:
+        if i not in row_of:
             stats["queries_fallback_global"] += 1
             ranks_new[:, i] = base_rank
             continue
-        new_rank, matched, topk = _rerank_one_query(
-            i, base_sim, base_rank, lesion_maps, q_vec, lesion_name,
-            rerank_topk, global_weight,
+        new_rank, matched, topk = _rerank_one_query_scored(
+            i, base_sim, base_rank, region[row_of[i]], rerank_topk,
+            global_weight,
         )
         stats["total_topk_candidates"] += topk
         if new_rank is None:
@@ -151,18 +243,35 @@ def rerank_with_adaptive_lesion(
     stats = _new_stats(mode="adaptive", rerank_topk=rerank_topk,
                        global_weight=global_weight, n=n)
     usage: Counter = Counter()
+    # per-query lesion choice is cheap; the region scoring is batched per
+    # chosen lesion (queries grouped, one matmul + segment-max per lesion)
+    chosen = [
+        choose_query_adaptive_lesion_vector(lesion_maps[i], target_lesions)
+        for i in range(n)
+    ]
+    topk = min(rerank_topk, n - 1)
+    region_rows: Dict[int, np.ndarray] = {}
+    by_lesion: Dict[str, List[int]] = {}
+    for i, (lesion, q_vec) in enumerate(chosen):
+        if q_vec is not None:
+            by_lesion.setdefault(lesion, []).append(i)
+    for lesion, rows in by_lesion.items():
+        q_mat = np.stack([chosen[i][1] for i in rows])
+        scores = _region_scores_topk(
+            q_mat, ranks_base[:topk, rows].T, _region_bank(lesion_maps, lesion)
+        )
+        for r, i in enumerate(rows):
+            region_rows[i] = scores[r]
     for i in range(n):
         base_rank = ranks_base[:, i]
-        lesion, q_vec = choose_query_adaptive_lesion_vector(
-            lesion_maps[i], target_lesions
-        )
+        lesion, q_vec = chosen[i]
         if q_vec is None:
             stats["queries_fallback_global"] += 1
             ranks_new[:, i] = base_rank
             continue
-        new_rank, matched, topk = _rerank_one_query(
-            i, base_sim, base_rank, lesion_maps, q_vec, lesion,
-            rerank_topk, global_weight,
+        new_rank, matched, topk = _rerank_one_query_scored(
+            i, base_sim, base_rank, region_rows[i], rerank_topk,
+            global_weight,
         )
         stats["total_topk_candidates"] += topk
         if new_rank is None:
