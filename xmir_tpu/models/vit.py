@@ -16,6 +16,8 @@ import flax.linen as nn
 from .activations import adaptive_gelu
 import jax.numpy as jnp
 
+from ..ops.ln_dense_pallas import ln_dense_fused, ln_qkv_fused
+
 
 class DenseParams(nn.Module):
     """Raw kernel/bias with nn.Dense-compatible naming, shapes, and init —
@@ -38,13 +40,27 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class LayerNormParams(nn.Module):
+    """nn.LayerNorm's params (same names/shapes/init) WITHOUT applying the
+    norm — lets the block hand scale/bias to a fused LN+projection kernel
+    while keeping the checkpoint tree identical to the nn.LayerNorm path."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
 class MultiHeadAttention(nn.Module):
     dim: int
     num_heads: int
     qkv_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, output_attentions: bool = False):
+    def __call__(self, x, output_attentions: bool = False, ln=None):
         b, n, c = x.shape
         h = self.num_heads
         head_dim = self.dim // h
@@ -55,6 +71,17 @@ class MultiHeadAttention(nn.Module):
         w = w.astype(compute_dtype)
 
         from ..ops.plain_attn import flash_attention_plain, plain_flash_enabled
+
+        if ln is not None:
+            # fused pre-LN + packed qkv (ops/ln_dense_pallas.py): one HBM
+            # read of the residual stream, head-major emission; the caller
+            # only passes ln when fused_ln_enabled() and the shape is
+            # eligible, and the attention itself must be the fused kernel
+            # (the XLA einsum path would re-materialize (B,H,N,N) scores)
+            q, k, v = ln_qkv_fused(x, ln[0], ln[1], w, bias, h)
+            out = flash_attention_plain(q, k, v, head_dim**-0.5)
+            out = jnp.swapaxes(out, 1, 2).reshape(b, n, self.dim)
+            return nn.Dense(self.dim, name="proj")(out), None
 
         if not output_attentions and plain_flash_enabled(x.dtype, n):
             # head-major projection: contracting against the (C, 3, H, hd)
@@ -106,7 +133,18 @@ class Mlp(nn.Module):
     hidden: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None):
+        if ln is not None:
+            # fused pre-LN + fc1 + tanh-GELU (bf16-exact; same policy note
+            # as ops/convnext_block_pallas.py) — removes the norm2 HBM
+            # round-trip of the residual stream
+            b, n, c = x.shape
+            w1, b1 = DenseParams(self.hidden, True, name="fc1")(c)
+            h = ln_dense_fused(
+                x.reshape(b * n, c), ln[0], ln[1],
+                w1.astype(x.dtype), b1, 1e-6, "gelu",
+            )
+            return nn.Dense(self.dim, name="fc2")(h.reshape(b, n, self.hidden))
         x = nn.Dense(self.hidden, name="fc1")(x)
         x = adaptive_gelu(x)
         x = nn.Dense(self.dim, name="fc2")(x)
@@ -121,6 +159,52 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, output_attentions: bool = False):
+        from ..ops.ln_dense_pallas import fused_ln_enabled, ln_qkv_eligible
+        from ..ops.plain_attn import plain_flash_enabled
+
+        hidden = int(self.dim * self.mlp_ratio)
+        head_dim = self.dim // self.num_heads
+        fuse_ln = (
+            not output_attentions
+            and fused_ln_enabled(x.dtype)
+            and ln_qkv_eligible(self.dim, head_dim)
+            and hidden % 128 == 0
+            and plain_flash_enabled(x.dtype, x.shape[1])
+        )
+        if fuse_ln:
+            import os
+
+            # pre-LNs fold into their projections (ops/ln_dense_pallas.py);
+            # the param tree is identical to the nn.LayerNorm branch below.
+            # Measured on DINOv2 (BENCHMARKS.md round-4 fused-LN notes):
+            # qkv fusion +9% (330 -> 360 img/s); the fc1 fusion LOSES 20%
+            # (XLA's MLP already runs 90% MFU and pipelines K-chunks the
+            # monolithic kernel dot cannot), so it defaults OFF and stays
+            # behind the knob for re-measurement on future libtpu.
+            fuse_qkv = os.environ.get("XMIR_FUSED_LN_QKV", "1") != "0"
+            fuse_mlp = os.environ.get("XMIR_FUSED_LN_MLP", "0") == "1"
+            if fuse_qkv:
+                ln1 = LayerNormParams(self.dim, name="norm1")()
+                h, attn = MultiHeadAttention(
+                    self.dim, self.num_heads, name="attn"
+                )(x, output_attentions, ln=ln1)
+            else:
+                h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+                h, attn = MultiHeadAttention(
+                    self.dim, self.num_heads, name="attn"
+                )(h, output_attentions)
+            if self.use_layerscale:
+                h = LayerScale(self.dim, name="ls1")(h)
+            x = x + h
+            if fuse_mlp:
+                ln2 = LayerNormParams(self.dim, name="norm2")()
+                h = Mlp(self.dim, hidden, name="mlp")(x, ln=ln2)
+            else:
+                h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+                h = Mlp(self.dim, hidden, name="mlp")(h)
+            if self.use_layerscale:
+                h = LayerScale(self.dim, name="ls2")(h)
+            return x + h, attn
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         h, attn = MultiHeadAttention(self.dim, self.num_heads, name="attn")(
             h, output_attentions
@@ -129,7 +213,7 @@ class ViTBlock(nn.Module):
             h = LayerScale(self.dim, name="ls1")(h)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        h = Mlp(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(h)
+        h = Mlp(self.dim, hidden, name="mlp")(h)
         if self.use_layerscale:
             h = LayerScale(self.dim, name="ls2")(h)
         return x + h, attn
