@@ -386,3 +386,54 @@ class TestChestmirIngestRawDetector:
             assert "stage1_global" in res
         finally:
             sys.path.remove("/root/repo")
+
+
+class TestObjectStore:
+    """Gallery-original upload (reference ingest_embeddings.py:319-383):
+    local backend end-to-end; S3 backend gated on boto3/credentials."""
+
+    def test_local_store_upload_and_uris(self, tmp_path):
+        from xmir_tpu.utils.objectstore import (
+            LocalDirStore,
+            resolve_store,
+            upload_originals,
+        )
+
+        srcs = []
+        for i in range(3):
+            p = tmp_path / f"img_{i}.png"
+            p.write_bytes(b"fake-image-bytes-%d" % i)
+            srcs.append(str(p))
+        store = resolve_store(str(tmp_path / "bucket"))
+        assert isinstance(store, LocalDirStore)
+        uris = upload_originals(srcs, store, prefix="original")
+        assert len(uris) == 3
+        for src, uri in zip(srcs, uris):
+            assert uri.endswith(f"original/{src.rsplit('/', 1)[1]}")
+            assert open(uri, "rb").read() == open(src, "rb").read()
+
+    def test_s3_store_gated(self, monkeypatch):
+        from xmir_tpu.utils import objectstore
+
+        monkeypatch.delenv("AWS_ACCESS_KEY_ID", raising=False)
+        with pytest.raises((ImportError, ValueError)):
+            objectstore.S3Store("bucket")
+
+    def test_ingest_records_uploaded_paths(self, tmp_path):
+        from xmir_tpu.cli import ingest as ingest_cli
+        from xmir_tpu.data import write_synthetic_covidx
+        from xmir_tpu.index import ShardedGalleryIndex
+
+        img_dir, manifest = write_synthetic_covidx(str(tmp_path), n=8, size=32)
+        out = str(tmp_path / "gal.npz")
+        dest = str(tmp_path / "store")
+        ingest_cli.main([
+            "--dataset", "covid", "--dataset-dir", img_dir,
+            "--train-image-list", manifest,
+            "--model", "tiny", "--embedding-dim", "16",
+            "--split", "train", "--batch-size", "8",
+            "--output", out, "--upload-originals", dest,
+        ])
+        idx = ShardedGalleryIndex.load(out)
+        assert all(p.startswith(dest) for p in idx.paths)
+        assert all(os.path.exists(p) for p in idx.paths)

@@ -25,6 +25,16 @@ def main(argv=None):
     p.add_argument("--skip-errors", action="store_true",
                    help="Skip unreadable images instead of failing "
                         "(reference ingest_embeddings.py:293-302)")
+    p.add_argument("--upload-originals", default="",
+                   help="Upload gallery originals and record the stored URIs "
+                        "as the index paths (reference "
+                        "ingest_embeddings.py:319-383): 's3://bucket' for S3 "
+                        "(needs boto3 + AWS creds) or a directory for the "
+                        "local/mounted-volume store. Default: record local "
+                        "paths (the reference's --store_local_paths).")
+    p.add_argument("--upload-prefix", default="original",
+                   help="Key prefix inside the store "
+                        "(S3_ORIGINAL_IMAGES_PREFIX)")
     args = p.parse_args(argv)
 
     from ..data.pipeline import embed_dataset
@@ -44,8 +54,17 @@ def main(argv=None):
     print(f">> embedded {len(dataset)} images in {dt:.1f}s "
           f"({len(dataset) / dt:.1f} img/s)")
 
+    paths = [str(n) for n in dataset.image_names]
+    if args.upload_originals:
+        from ..utils.objectstore import resolve_store, upload_originals
+
+        store = resolve_store(args.upload_originals)
+        paths = upload_originals(paths, store, args.upload_prefix)
+        print(f">> uploaded {len(paths)} originals -> "
+              f"{args.upload_originals} (sample: {paths[0]})")
+
     idx = ShardedGalleryIndex(embeds.shape[1], metric=args.metric)
-    idx.add(embeds, labels, [str(n) for n in dataset.image_names])
+    idx.add(embeds, labels, paths)
     idx.build()
     idx.save(args.output)
     print(f">> index saved: {args.output} ({idx.ntotal} vectors, "
