@@ -16,6 +16,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", default="/tmp/xmir_demo")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--epochs", type=int, default=2,
+                   help="CI-of-record chip runs use more epochs so the "
+                        "metrics artifact shows a learning curve")
     args = p.parse_args()
 
     if args.cpu:
@@ -26,7 +29,11 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     from xmir_tpu.data import split_txt, write_synthetic_covidx
 
-    img_dir, manifest = write_synthetic_covidx(args.workdir, n=36, size=48)
+    # hard mode: classes share a mean color and differ only by a subtle
+    # frequency pattern under noise, so the untrained model scores near
+    # chance and the committed metrics artifact shows a real learning curve
+    img_dir, manifest = write_synthetic_covidx(args.workdir, n=36, size=48,
+                                               hard=True)
     split_txt(manifest, f"{args.workdir}/train.txt", f"{args.workdir}/val.txt", 0.25)
 
     common = [
@@ -41,7 +48,8 @@ def main():
         "--train-image-list", f"{args.workdir}/train.txt",
         "--val-image-list", f"{args.workdir}/val.txt",
         "--val-dataset-dir", img_dir,
-        "-p", "3", "-k", "4", "--epochs", "2", "--eval-freq", "1",
+        "-p", "3", "-k", "4", "--epochs", str(args.epochs), "--eval-freq", "1",
+        "--eval-initial",
         "--lr", "1e-3", "--loss-name", "triplet_hard",
         "--save-dir", f"{args.workdir}/ckpt",
         "--metrics-log", f"{args.workdir}/metrics.jsonl",
@@ -87,6 +95,30 @@ def main():
         "--top-k", "2", "--step", "6272", "--limit", "2",
         "--output", f"{args.workdir}/insdel.json",
     ])
+
+    # machine-readable summary for the committed learning-dynamics artifact
+    # (tests/test_demo_artifact.py replays it)
+    import time
+
+    import jax
+
+    evals = [
+        json.loads(line)
+        for line in open(f"{args.workdir}/metrics.jsonl")
+        if json.loads(line).get("kind") == "eval"
+    ]
+    insdel = json.load(open(f"{args.workdir}/insdel.json"))
+    summary = {
+        "platform": jax.devices()[0].platform,
+        "time": time.time(),
+        "epochs": args.epochs,
+        "eval_mAP_by_epoch": [e["mAP"] for e in evals],
+        "top1_label_accuracy_pct": 100 * correct / len(hits),
+        "n_queries": len(hits),
+        "insdel": insdel,
+    }
+    with open(f"{args.workdir}/summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
 
     print("\nDemo artifacts in", args.workdir)
     for f in sorted(os.listdir(args.workdir)):

@@ -357,3 +357,34 @@ class TestPipelineBackpressure:
         assert consumed == 256
         # window of 2x workers batches (+ one being yielded), in images
         assert max_ahead <= (2 * workers + 1) * 8, max_ahead
+
+
+class TestSyntheticHardMode:
+    def test_hard_removes_the_color_shortcut(self):
+        """hard=True classes share the mean color (learning-curve mode for
+        the demo/CI artifact); default classes are color-separable."""
+        easy = SyntheticImageDataset(n=30, size=32, seed=1)
+        hard = SyntheticImageDataset(n=30, size=32, seed=1, hard=True)
+
+        def class_mean_colors(ds):
+            sums = {}
+            for i in range(len(ds)):
+                sums.setdefault(ds.labels[i], []).append(
+                    ds.load_image(i).mean(axis=(0, 1))
+                )
+            return {k: np.mean(v, axis=0) for k, v in sums.items()}
+
+        easy_means = class_mean_colors(easy)
+        hard_means = class_mean_colors(hard)
+        easy_spread = np.ptp(np.stack(list(easy_means.values())), axis=0).max()
+        hard_spread = np.ptp(np.stack(list(hard_means.values())), axis=0).max()
+        assert easy_spread > 30, easy_spread
+        assert hard_spread < 8, hard_spread
+        # but the frequency pattern still separates classes for a learner:
+        # per-class FFT energy at the class frequency dominates
+        s = 32
+        for i in range(len(hard)):
+            img = hard.load_image(i).astype(np.float32).mean(axis=2)
+            f = np.abs(np.fft.fft2(img - img.mean()))
+            k = hard.labels[i] + 1
+            assert f[k, k] == np.sort(f[:8, :8].ravel())[-1], i

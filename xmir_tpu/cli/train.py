@@ -64,6 +64,10 @@ def parse_args(argv=None):
                         "(gradient checkpointing)")
     p.add_argument("--ckpt-every", default=10, type=int,
                    help="Periodic checkpoint interval in epochs")
+    p.add_argument("--eval-initial", action="store_true",
+                   help="Eval the untrained model before epoch 1 (logged as "
+                        "epoch 0) so the metrics log shows the full "
+                        "learning curve")
     return p.parse_args(argv)
 
 
@@ -204,6 +208,27 @@ def main(argv=None):
     policy = BestCheckpointPolicy(
         args.save_dir, name_kwargs, periodic_every=args.ckpt_every
     )
+
+    if args.eval_initial and val_ds is not None and start_epoch == 1:
+        from ..data.pipeline import embed_dataset
+        from ..metrics import train_eval_multilabel, train_eval_single_label
+
+        embed = jitted_embed(model)
+        eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        embeds, labels = embed_dataset(
+            val_ds, embed, eval_vars, spec,
+            batch_size=args.eval_batch_size, num_workers=args.workers,
+        )
+        m = (
+            train_eval_multilabel(embeds, labels)
+            if multilabel
+            else train_eval_single_label(embeds, labels)
+        )
+        print(f">> val (untrained): mAP={m['mAP']:.3f}% R@1={m['R@1']:.3f}%")
+        if args.metrics_log:
+            _log_jsonl(args.metrics_log, {
+                "kind": "eval", "epoch": 0, "time": time.time(), **m,
+            })
 
     for epoch in range(start_epoch, args.epochs + 1):
         # per-epoch rng derived from (seed, epoch), so resume-at-epoch-k

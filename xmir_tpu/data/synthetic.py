@@ -13,13 +13,15 @@ class SyntheticImageDataset:
     + frequency pattern so even random-init embedders separate them weakly and
     trained ones strongly."""
 
-    def __init__(self, n: int = 64, size: int = 64, num_classes: int = 3, seed: int = 0):
+    def __init__(self, n: int = 64, size: int = 64, num_classes: int = 3,
+                 seed: int = 0, hard: bool = False):
         rng = np.random.default_rng(seed)
         self.labels = (np.arange(n) % num_classes).tolist()
         rng.shuffle(self.labels)
         self.size = size
         self.num_classes = num_classes
         self._seed = seed
+        self.hard = hard
         self.image_names = [f"synthetic_{i:04d}.png" for i in range(n)]
 
     def __len__(self):
@@ -30,12 +32,23 @@ class SyntheticImageDataset:
         label = self.labels[index]
         s = self.size
         base = np.zeros((s, s, 3), np.float32)
-        base[..., label % 3] = 120 + 40 * (label // 3)
         yy, xx = np.mgrid[0:s, 0:s]
-        pattern = 40 * np.sin(2 * np.pi * (label + 1) * xx / s) * np.cos(
-            2 * np.pi * (label + 1) * yy / s
-        )
-        noise = rng.normal(0, 20, (s, s, 3))
+        if self.hard:
+            # learning-curve mode: all classes share the same gray base;
+            # only a low-amplitude frequency pattern under heavy noise
+            # separates them, so random-init embedders score near chance
+            # and the demo/CI artifact shows mAP IMPROVING across epochs
+            base[...] = 110.0
+            pattern = 25 * np.sin(2 * np.pi * (label + 1) * xx / s) * np.cos(
+                2 * np.pi * (label + 1) * yy / s
+            )
+            noise = rng.normal(0, 20, (s, s, 3))
+        else:
+            base[..., label % 3] = 120 + 40 * (label // 3)
+            pattern = 40 * np.sin(2 * np.pi * (label + 1) * xx / s) * np.cos(
+                2 * np.pi * (label + 1) * yy / s
+            )
+            noise = rng.normal(0, 20, (s, s, 3))
         img = np.clip(base + pattern[..., None] + noise + 60, 0, 255)
         return img.astype(np.uint8)
 
@@ -68,13 +81,14 @@ class SyntheticMultiLabelDataset(SyntheticImageDataset):
         return np.clip(img + 60, 0, 255).astype(np.uint8)
 
 
-def write_synthetic_covidx(root: str, n: int = 30, size: int = 48, seed: int = 0):
+def write_synthetic_covidx(root: str, n: int = 30, size: int = 48, seed: int = 0,
+                           hard: bool = False):
     """Materialize a tiny on-disk COVIDx-format dataset (txt manifest
     `idx filename label`) for end-to-end CLI tests."""
     from PIL import Image
 
     os.makedirs(os.path.join(root, "images"), exist_ok=True)
-    ds = SyntheticImageDataset(n=n, size=size, num_classes=3, seed=seed)
+    ds = SyntheticImageDataset(n=n, size=size, num_classes=3, seed=seed, hard=hard)
     names = list(COVIDX_CLASS_NAMES)
     manifest = os.path.join(root, "manifest.txt")
     with open(manifest, "w") as f:
