@@ -36,6 +36,19 @@ _DISTANCE_CONVERSIONS = {
 }
 
 
+def _pick_tile_g(shard_rows: int) -> int:
+    """Largest multiple-of-128 divisor of the (128-aligned) shard row count
+    in [512, 2048]: a tile that divides the shard exactly keeps the fused
+    kernel's padded shape equal to the stored shape (zero-copy fast path,
+    ops/topk_pallas.py), and a round-3 sweep measured tile_g in this band
+    within run-to-run noise. Falls back to the default 2048 (pad-copy path)
+    when the shard has no such divisor."""
+    for tg in range(2048, 511, -128):
+        if shard_rows % tg == 0:
+            return tg
+    return 2048
+
+
 def _use_pallas() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -121,11 +134,31 @@ class ShardedGalleryIndex:
         if not self._staged:
             raise ValueError("index is empty")
         host = np.concatenate(self._staged, axis=0)
+        # Fold the metric's per-gallery-row transform into the build: cosine
+        # normalization / hamming sign-binarization are row-local, so doing
+        # them once here deletes a full-gallery VPU+HBM pass from EVERY
+        # search call (inside shard_map XLA cannot hoist it out of serving
+        # loops). Queries get the same transform per call in search(); the
+        # kernels then run plain inner-product. The raw staged rows are kept
+        # for save()/reconstruction.
+        if self.metric == "cosine":
+            host = host / np.maximum(
+                np.linalg.norm(host, axis=1, keepdims=True), 1e-12
+            )
+        elif self.metric == "hamming":
+            host = np.where(host >= 0, 1.0, -1.0).astype(host.dtype)
         self._n = host.shape[0]
         self._mesh = mesh
         if mesh is not None:
             n_data = mesh.shape[DATA_AXIS]
-            pad = (-self._n) % n_data
+            # 128-align each shard: the fused kernel's padded gallery shape
+            # then equals the stored shape, so the per-call pad copy inside
+            # shard_map (which XLA cannot hoist out of serving loops) becomes
+            # a zero-copy pass-through (ops/topk_pallas.py fast path). The
+            # masked kernel's per-row -inf bias keeps the pad rows unselectable.
+            shard = -(-self._n // n_data)
+            shard = ((shard + 127) // 128) * 128
+            pad = shard * n_data - self._n
             if pad:
                 host = np.concatenate(
                     [host, np.zeros((pad, self.dim), host.dtype)], axis=0
@@ -152,26 +185,44 @@ class ShardedGalleryIndex:
         if k > self._n:
             raise ValueError(f"k={k} > index size {self._n}")
         queries = jnp.asarray(queries, self.dtype)
+        # build() pre-applied the gallery-side metric transform; apply the
+        # query-side half here and run the kernels on plain inner-product
+        # (cosine scores == ip of normalized vectors; hamming rides an
+        # increasing affine map of the ±1 dot, applied after the merge so
+        # cross-shard candidate ordering is unchanged)
+        kmetric = self.metric
+        if self.metric == "cosine":
+            queries = queries / jnp.maximum(
+                jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12
+            )
+            kmetric = "ip"
+        elif self.metric == "hamming":
+            queries = jnp.where(queries >= 0, 1.0, -1.0).astype(self.dtype)
+            kmetric = "ip"
         fetch = k + 1 if exclude_ids is not None else k
         fetch = min(fetch, self._n)
         mode = _kernel_mode()
         if self._mesh is not None:
-            vals, idxs = self._search_sharded(queries, fetch, mode)
+            vals, idxs = self._search_sharded(queries, fetch, mode, kmetric=kmetric)
         elif mode != "xla":
             vals, idxs = fused_topk(
-                queries, self._device_embeds, fetch, self.metric,
+                queries, self._device_embeds, fetch, kmetric,
                 compute_dtype=self.dtype, interpret=(mode == "interpret"),
             )
         else:
             vals, idxs = tiled_topk(
-                queries, self._device_embeds, fetch, metric=self.metric,
+                queries, self._device_embeds, fetch, metric=kmetric,
                 valid_count=self._n,
+            )
+        if self.metric == "hamming":
+            vals = jnp.where(
+                jnp.isneginf(vals), vals, -(self.dim - vals) / 2.0
             )
         if exclude_ids is not None:
             vals, idxs = exclude_self_topk(vals, idxs, exclude_ids, k)
         return vals, idxs
 
-    def _search_sharded(self, queries, k: int, mode: str = "xla"):
+    def _search_sharded(self, queries, k: int, mode: str = "xla", kmetric=None):
         """Per-shard local top-k via shard_map, then a tiny cross-shard merge.
 
         No (Q, N) matrix and no full-gallery gather ever materializes; the
@@ -184,15 +235,24 @@ class ShardedGalleryIndex:
         lax.scan tiled_topk. Results are identical across modes; shard-local
         validity of the padded last shard rides the kernel's per-row score
         bias (ops/topk_pallas.py::fused_topk_masked).
+
+        ``kmetric`` is the kernel-level metric: search() pre-transforms
+        queries/gallery for cosine (normalize) and hamming (binarize) and
+        dispatches their "ip" form here so no per-call full-gallery transform
+        runs inside the region; direct callers may omit it (build() already
+        transformed the gallery, and the per-call re-transform is idempotent).
         """
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
+        embeds = self._device_embeds
         mesh = self._mesh
         n_dev = mesh.shape[DATA_AXIS]
-        shard_rows = self._device_embeds.shape[0] // n_dev
+        shard_rows = embeds.shape[0] // n_dev
         n_real = self._n
-        metric = self.metric
+        # search() dispatches the already-transformed "ip" form for
+        # cosine/hamming; direct callers (tests, bench) get the raw metric
+        metric = self.metric if kmetric is None else kmetric
         compute_dtype = self.dtype
 
         def local_search(q, g_shard):
@@ -208,6 +268,7 @@ class ShardedGalleryIndex:
                 qv = jax.lax.pcast(q, (DATA_AXIS,), to="varying")
                 vals, idxs = fused_topk_masked(
                     qv, g_shard, kk, valid, metric,
+                    tile_q=512, tile_g=_pick_tile_g(shard_rows),
                     compute_dtype=compute_dtype,
                     interpret=(mode == "interpret"),
                     out_vma=(DATA_AXIS,),
@@ -233,7 +294,7 @@ class ShardedGalleryIndex:
             in_specs=(P(), P(DATA_AXIS, None)),
             out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         )
-        vals, idxs = f(queries, self._device_embeds)  # (n_dev*Q, k) stacked
+        vals, idxs = f(queries, embeds)  # (n_dev*Q, k) stacked
         q = queries.shape[0]
         vals = vals.reshape(n_dev, q, k).transpose(1, 0, 2).reshape(q, n_dev * k)
         idxs = idxs.reshape(n_dev, q, k).transpose(1, 0, 2).reshape(q, n_dev * k)

@@ -295,9 +295,29 @@ def fused_topk_scores(
     n_pad = _round_up(n_real, tile_g)
 
     in_dtype = jnp.dtype(compute_dtype)
-    qp = jnp.zeros((q_pad, d_pad), in_dtype).at[:q_n, :d].set(queries.astype(in_dtype))
-    gp = jnp.zeros((n_pad, d_pad), in_dtype).at[:n_real, :d].set(gallery.astype(in_dtype))
-    bp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n_real].set(bias.astype(jnp.float32))
+    # Zero-copy fast paths: skip the pad when an input already has the padded
+    # shape and dtype. Outside jit loops XLA hoists the loop-invariant pad
+    # copy, but inside shard_map (the sharded serving path) it does NOT — a
+    # per-call full-gallery materialization that cost ~40% of sharded-search
+    # throughput before ShardedGalleryIndex.build() learned to align shards.
+    if queries.shape == (q_pad, d_pad) and queries.dtype == in_dtype:
+        qp = queries
+    else:
+        qp = jnp.zeros((q_pad, d_pad), in_dtype).at[:q_n, :d].set(
+            queries.astype(in_dtype)
+        )
+    if gallery.shape == (n_pad, d_pad) and gallery.dtype == in_dtype:
+        gp = gallery
+    else:
+        gp = jnp.zeros((n_pad, d_pad), in_dtype).at[:n_real, :d].set(
+            gallery.astype(in_dtype)
+        )
+    if n_real == n_pad:
+        bp = bias.astype(jnp.float32).reshape(1, n_pad)
+    else:
+        bp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n_real].set(
+            bias.astype(jnp.float32)
+        )
 
     grid = (q_pad // tile_q, n_pad // tile_g)
     scratch_shapes = [
