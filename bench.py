@@ -44,10 +44,10 @@ TARGET_IPS_V5E8 = 10_000.0
 N1, N2 = 2, 10
 
 
-def _loop_time(make_loop_fn, *args):
+def _loop_time(make_loop_fn, *args, n1: int = N1, n2: int = N2):
     """Return seconds per single iteration of the op, overhead-cancelled."""
-    f1 = jax.jit(make_loop_fn(N1))
-    f2 = jax.jit(make_loop_fn(N2))
+    f1 = jax.jit(make_loop_fn(n1))
+    f2 = jax.jit(make_loop_fn(n2))
     float(f1(*args))  # compile + warm
     float(f2(*args))
     t1 = min(
@@ -58,7 +58,7 @@ def _loop_time(make_loop_fn, *args):
         _timed(lambda: float(f2(*args))),
         _timed(lambda: float(f2(*args))),
     )
-    return max((t2 - t1) / (N2 - N1), 1e-9)
+    return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
 def _timed(fn):
@@ -105,17 +105,108 @@ def bench_search(on_tpu: bool):
     return QUERY_BATCH / dt, kernel
 
 
-def bench_embed():
+def bench_search_sharded():
+    """Headline search through the DEPLOYMENT shape: the fused Pallas top-K
+    kernel composed under shard_map over the mesh data axis, including the
+    cross-shard candidate merge (all_gather of (Q, k) candidates + the same
+    index-ordered top-k the product merge runs, index/gallery.py:
+    _search_sharded) — measured against the index's build()-aligned gallery
+    placement (128-aligned shards -> the kernel's zero-copy fast path).
+
+    The timing loop lives INSIDE the shard_map region: nesting shard_map
+    inside lax.fori_loop instead costs a per-iteration full-to-shard copy of
+    the gallery (~15%) that real serving never pays — at dispatch
+    granularity the gallery is a committed sharded array and jit's reshard
+    of an identically-sharded input is a no-op. Compared to the meshless
+    headline, the delta is the true cost of shard_map composition + merge
+    (measured ~0, see BENCHMARKS.md)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from xmir_tpu.index import ShardedGalleryIndex
+    from xmir_tpu.index.gallery import _pick_tile_g
+    from xmir_tpu.ops.topk_pallas import fused_topk_masked
+    from xmir_tpu.parallel import make_mesh
+    from xmir_tpu.parallel.mesh import DATA_AXIS
+
+    rng = np.random.default_rng(0)
+    gallery = rng.standard_normal((GALLERY_N, DIM)).astype(np.float32)
+    gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+
+    mesh = make_mesh((jax.device_count(),), axis_names=("data",))
+    idx = ShardedGalleryIndex(dim=DIM, metric="ip")
+    idx.add(gallery)
+    idx.build(mesh)
+    n_dev = mesh.shape[DATA_AXIS]
+    shard_rows = idx._device_embeds.shape[0] // n_dev
+    tile_g = _pick_tile_g(shard_rows)
+    queries = jnp.asarray(np.asarray(idx._device_embeds)[:QUERY_BATCH])
+
+    def make_loop(iters):
+        # gallery enters as an explicit jit argument (not a closure constant:
+        # the axon remote-compile tunnel serializes closed-over constants
+        # into the compile payload and 413s on a 400MB gallery)
+        def local(q, g_shard):
+            shard_id = jax.lax.axis_index(DATA_AXIS)
+            base = shard_id * shard_rows
+            valid = jnp.clip(GALLERY_N - base, 0, shard_rows)
+            qv = jax.lax.pcast(q, (DATA_AXIS,), to="varying")
+            zero = jax.lax.pcast(
+                jnp.float32(0), (DATA_AXIS,), to="varying"
+            )
+
+            def body(_, carry):
+                acc, bump = carry
+                vals, idxs = fused_topk_masked(
+                    qv + bump, g_shard, K, valid, "ip",
+                    tile_q=512, tile_g=tile_g, out_vma=(DATA_AXIS,),
+                )
+                idxs = idxs + base
+                # cross-shard merge, in-region: n_dev*k candidates per query
+                av = jax.lax.all_gather(vals, DATA_AXIS)  # (n_dev, Q, k)
+                ai = jax.lax.all_gather(idxs, DATA_AXIS)
+                av = av.transpose(1, 0, 2).reshape(-1, n_dev * K)
+                ai = ai.transpose(1, 0, 2).reshape(-1, n_dev * K)
+                order = jnp.argsort(ai, axis=1, stable=True)
+                av = jnp.take_along_axis(av, order, axis=1)
+                ai = jnp.take_along_axis(ai, order, axis=1)
+                v, pos = jax.lax.top_k(av, K)
+                i = jnp.take_along_axis(ai, pos, axis=1)
+                s = jnp.sum(v) + jnp.sum(i).astype(jnp.float32)
+                return acc + s, s * 0e-30
+
+            acc, _ = jax.lax.fori_loop(0, iters, body, (zero, zero))
+            return jax.lax.psum(acc, DATA_AXIS)
+
+        def run(q, g):
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS, None)), out_specs=P(),
+            )(q, g)
+
+        return run
+
+    dt = _loop_time(make_loop, queries, idx._device_embeds)
+    return QUERY_BATCH / dt
+
+
+def _densenet_bf16(batch: int):
+    """(model, bf16 variables, bf16 input batch) — shared by the embed and
+    XAI benches so they measure the same tower configuration."""
     from xmir_tpu.models import create_model
 
     model, _ = create_model("densenet121", embedding_dim=128)
     rng = np.random.default_rng(0)
-    x32 = jnp.asarray(rng.standard_normal((EMBED_BATCH, 224, 224, 3)), jnp.float32)
+    x32 = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x32)
     variables = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, variables
     )
-    x = x32.astype(jnp.bfloat16)
+    return model, variables, x32.astype(jnp.bfloat16)
+
+
+def bench_embed():
+    model, variables, x = _densenet_bf16(EMBED_BATCH)
 
     def make_loop(iters):
         def run(v, x):
@@ -158,6 +249,86 @@ def bench_search_bf16():
 
     dt = _loop_time(make_loop, queries, gallery)
     return QUERY_BATCH / dt
+
+
+def bench_sbsm(batch: int = 4):
+    """SBSM self-saliency maps/sec: DenseNet121@224 bf16 with the reference
+    mask grid (window 24, stride 5 -> 49x49 = 2,401 masks/map). The reference
+    runs those 2,401 masked forwards per map fanned over GPUs with DataParallel
+    (explanations.py:105-152, README.md:76); here the mask stack streams
+    through lax.map chunks of one jitted embed on a single chip."""
+    from xmir_tpu.xai.sbsm import generate_masks, sbsm_self_saliency
+
+    model, variables, x = _densenet_bf16(batch)
+    masks = jnp.asarray(generate_masks(224, window_size=24, stride=5))
+    assert masks.shape[0] == 2401, masks.shape
+
+    def embed_fn(v, imgs):
+        return model.apply(v, imgs, train=False)["embedding"]
+
+    def make_loop(iters):
+        # masks passed as a jit argument — a 2401x224x224 closure constant
+        # would be serialized into the axon remote-compile payload (HTTP 413)
+        def run(v, xx, mm):
+            def body(_, carry):
+                acc, bump = carry
+                sal = sbsm_self_saliency(embed_fn, v, xx + bump, mm, chunk=252)
+                s = jnp.sum(sal).astype(jnp.float32)
+                return acc + s, (s * 0e-30).astype(xx.dtype)
+            acc, _ = jax.lax.fori_loop(0, iters, body, (0.0, jnp.bfloat16(0)))
+            return acc
+        return run
+
+    dt = _loop_time(make_loop, variables, x, masks, n1=1, n2=3)
+    return batch / dt
+
+
+def bench_insdel(pairs: int = 8, step: int = 1000):
+    """Insertion+deletion causal-metric pair-evals/sec at step=1000 on 224^2
+    images (both curves per pair; blur substrate for insertion, zeros for
+    deletion — the reference's defaults). The reference embeds one image per
+    reveal step per pair serially (evaluation.py:46-138); here every
+    (step x pair) cell is batched through one jitted embed."""
+    from xmir_tpu.xai.causal import (
+        blur_substrate,
+        causal_scores_batch,
+        saliency_rank,
+        zeros_substrate,
+    )
+
+    model, variables, x = _densenet_bf16(pairs)
+    rng = np.random.default_rng(1)
+    sal = jnp.asarray(rng.random((pairs, 224 * 224)), jnp.float32)
+    ranks = jax.vmap(saliency_rank)(sal)
+    blur = blur_substrate()
+
+    def embed_fn(v, imgs):
+        return model.apply(v, imgs, train=False)["embedding"]
+
+    def make_loop(iters):
+        def run(v, xx):
+            q_feat = embed_fn(v, xx[:1])[0]
+            zsub = zeros_substrate(xx).astype(xx.dtype)
+            bsub = blur(xx).astype(xx.dtype)
+
+            def body(_, carry):
+                acc, bump = carry
+                xi = xx + bump
+                s_del = causal_scores_batch(
+                    embed_fn, v, q_feat, xi, zsub, ranks, step, batch_steps=8
+                )
+                s_ins = causal_scores_batch(
+                    embed_fn, v, q_feat, bsub + bump, xi, ranks, step, batch_steps=8
+                )
+                s = (jnp.sum(s_del) + jnp.sum(s_ins)).astype(jnp.float32)
+                return acc + s, (s * 0e-30).astype(xx.dtype)
+
+            acc, _ = jax.lax.fori_loop(0, iters, body, (0.0, jnp.bfloat16(0)))
+            return acc
+        return run
+
+    dt = _loop_time(make_loop, variables, x, n1=1, n2=3)
+    return pairs / dt
 
 
 def bench_host_cached(n_files: int = 2048, size: int = 224):
@@ -269,15 +440,38 @@ def bench_train_towers(names):
 def main():
     n_chips = jax.device_count()
     on_tpu = jax.devices()[0].platform == "tpu"
-    qps, kernel = bench_search(on_tpu)
+    # headline: median-of-N with spread (VERDICT r3 #6 — single-shot QPS
+    # spans ~20% run-to-run; round-over-round deltas need the spread to be
+    # interpretable). First sample pays compile; all reuse the jit cache.
+    n_samples = int(os.environ.get("XMIR_BENCH_SAMPLES", "3"))
+    samples = []
+    kernel = None
+    for _ in range(max(1, n_samples)):
+        q, kernel = bench_search(on_tpu)
+        samples.append(q)
+    qps = float(np.median(samples))
     try:
         qps_bf16 = bench_search_bf16() if on_tpu else None
     except Exception:
         qps_bf16 = None
     try:
+        qps_sharded = bench_search_sharded() if on_tpu else None
+    except Exception:
+        qps_sharded = None
+    try:
         ips = bench_embed()
     except Exception:
         ips = None
+    sbsm_mps = insdel_pps = None
+    if on_tpu and os.environ.get("XMIR_BENCH_XAI", "1") != "0":
+        try:
+            sbsm_mps = bench_sbsm()
+        except Exception:
+            pass
+        try:
+            insdel_pps = bench_insdel()
+        except Exception:
+            pass
     try:
         host_ips = bench_host_pipeline()
     except Exception:
@@ -306,8 +500,19 @@ def main():
         "unit": "queries/sec",
         "vs_baseline": round(qps / per_chip_target, 3),
         "extras": {
+            "qps_spread": {
+                "median": round(float(np.median(samples)), 1),
+                "min": round(float(np.min(samples)), 1),
+                "max": round(float(np.max(samples)), 1),
+                "n": len(samples),
+            },
+            "qps_sharded_1dev_mesh_pallas": (
+                None if qps_sharded is None else round(qps_sharded, 1)
+            ),
             "qps_bf16_serving_mode": None if qps_bf16 is None else round(qps_bf16, 1),
             "embed_images_per_sec_densenet121_bf16": None if ips is None else round(ips, 1),
+            "sbsm_maps_per_sec": None if sbsm_mps is None else round(sbsm_mps, 2),
+            "insdel_pairs_per_sec": None if insdel_pps is None else round(insdel_pps, 2),
             **towers,
             "embed_target_per_chip": TARGET_IPS_V5E8 / 8.0 * n_chips,
             "host_pipeline_npy_img_per_sec": (
