@@ -33,6 +33,7 @@ Reference role: the HF/timm eager attention inside the reference's towers
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -91,7 +92,21 @@ def _row_loop(bb: int, body):
         jax.lax.fori_loop(0, bb, lambda i, c: (body(i), c)[1], 0)
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad_extra, scale):
+def _softmax_bf16_enabled(dtype) -> bool:
+    """bf16 softmax tail: one rounding after the score matmul, then
+    max/sub/exp2/sum on bf16 vectors and the value dot consumes e without a
+    cast pass. MEASURED NEUTRAL on the DINOv2 shape with the 2026-08 Mosaic
+    (1.87 vs 1.83 ms — v5e VPU elementwise ops are not 2x-packed for bf16
+    through this lowering) at slightly worse error (1.4% vs 1.1% rel), so
+    the default stays the f32 tail; the variant is kept behind
+    XMIR_ATTN_SOFTMAX_BF16=1 for re-measurement on future libtpu."""
+    return (
+        jnp.dtype(dtype) == jnp.bfloat16
+        and os.environ.get("XMIR_ATTN_SOFTMAX_BF16", "0") == "1"
+    )
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad_extra, scale, sm_bf16=False):
     # q/o blocks (bb, TQ, D); k/v blocks (bb, NK, D). The softmax scale is
     # applied to the (TQ, D) q tile in VMEM — 20x smaller than the score
     # matrix and free of the host-side HBM pass a pre-scale would cost —
@@ -107,6 +122,29 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad_extra, scale):
     # matmul ((e/Z) @ v == (e @ v)/Z) so it touches (TQ, D), not (TQ, NK).
     def body(i):
         q = q_ref[i] * jnp.asarray(scale * LOG2E, q_ref.dtype)
+        if sm_bf16:
+            # bf16 softmax tail: the MXU emits bf16 scores (f32 accumulate,
+            # one rounding at output), and every full-score VPU pass runs
+            # packed bf16 — plus the e->bf16 cast pass disappears because e
+            # is born bf16 for the value dot. Exactness: s - m <= 0 exactly
+            # (m is the max of the SAME bf16 values), so no overflow; the
+            # ~2^-8 relative error on softmax weights sits at the output
+            # dtype's own rounding level. z accumulates in f32.
+            s = jnp.dot(
+                q, k_ref[i].T, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)  # Mosaic matmuls accumulate f32; one
+            # rounding here replaces the e->bf16 cast pass of the f32 tail
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp2(s - m)
+            z = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+            if n_pad_extra:
+                # padded keys score exactly 0 -> contribute exp2(-m) each
+                z = jnp.maximum(
+                    z - n_pad_extra * jnp.exp2(-m.astype(jnp.float32)), 1e-30
+                )
+            o = jnp.dot(e, v_ref[i], preferred_element_type=jnp.float32)
+            o_ref[i] = (o / z).astype(o_ref.dtype)
+            return
         s = jnp.dot(q, k_ref[i].T, preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp2(s - m)
@@ -199,7 +237,10 @@ def _attention_fwd_pallas(q, k, v, sm_scale: float, interpret: bool = False):
     vp = jnp.pad(v, ((0, 0), (0, nk_pad - n), (0, 0))) if nk_pad != n else v
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_pad_extra=nk_pad - n, scale=sm_scale),
+        functools.partial(
+            _kernel, n_pad_extra=nk_pad - n, scale=sm_scale,
+            sm_bf16=_softmax_bf16_enabled(q.dtype),
+        ),
         grid=(bh // bb, nq_pad // tq),
         in_specs=[
             pl.BlockSpec((bb, tq, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
