@@ -44,20 +44,21 @@ TARGET_IPS_V5E8 = 10_000.0
 N1, N2 = 2, 10
 
 
-def _loop_time(make_loop_fn, *args, n1: int = N1, n2: int = N2):
-    """Return seconds per single iteration of the op, overhead-cancelled."""
+def _loop_time(make_loop_fn, *args, n1: int = N1, n2: int = N2, reps: int = 3):
+    """Return seconds per single iteration of the op, overhead-cancelled.
+
+    min-of-`reps` per iteration count: the tunnel occasionally stalls a
+    single fetch by tens of ms, which at small n2 can inflate the result
+    several-fold (a 94k-QPS outlier on a 490k bench was one such stall);
+    the min is the right estimator for a noise floor that is always
+    additive. Fast ops should also pass larger n1/n2 so the differenced
+    work dwarfs any residual jitter."""
     f1 = jax.jit(make_loop_fn(n1))
     f2 = jax.jit(make_loop_fn(n2))
     float(f1(*args))  # compile + warm
     float(f2(*args))
-    t1 = min(
-        _timed(lambda: float(f1(*args))),
-        _timed(lambda: float(f1(*args))),
-    )
-    t2 = min(
-        _timed(lambda: float(f2(*args))),
-        _timed(lambda: float(f2(*args))),
-    )
+    t1 = min(_timed(lambda: float(f1(*args))) for _ in range(reps))
+    t2 = min(_timed(lambda: float(f2(*args))) for _ in range(reps))
     return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
@@ -101,7 +102,7 @@ def bench_search(on_tpu: bool):
             return acc
         return run
 
-    dt = _loop_time(make_loop, queries, gallery)
+    dt = _loop_time(make_loop, queries, gallery, n1=10, n2=50)
     return QUERY_BATCH / dt, kernel
 
 
@@ -186,7 +187,7 @@ def bench_search_sharded():
 
         return run
 
-    dt = _loop_time(make_loop, queries, idx._device_embeds)
+    dt = _loop_time(make_loop, queries, idx._device_embeds, n1=10, n2=50)
     return QUERY_BATCH / dt
 
 
@@ -247,7 +248,7 @@ def bench_search_bf16():
             return acc
         return run
 
-    dt = _loop_time(make_loop, queries, gallery)
+    dt = _loop_time(make_loop, queries, gallery, n1=10, n2=50)
     return QUERY_BATCH / dt
 
 
