@@ -107,6 +107,34 @@ class TestLnQkv:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=2e-4, atol=2e-4)
 
+    def test_analytic_bwd_all_grads_vs_reference(self, rng):
+        """The round-4 analytic vjp (2 matmuls + closed-form LN chain)
+        must match jax.grad of the XLA reference for every operand,
+        including the LN affine params and the packed bias, on a
+        non-tile-multiple sequence length."""
+        bsz, n, c, h = 2, 35, 128, 2
+        x = jnp.asarray(rng.standard_normal((bsz, n, c)), jnp.float32)
+        lns = jnp.asarray(1 + 0.1 * rng.standard_normal(c), jnp.float32)
+        lnb = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.05, jnp.float32)
+        b = jnp.asarray(0.1 * rng.standard_normal(3 * c), jnp.float32)
+
+        def loss(fn):
+            def f(x, lns, lnb, w, b):
+                q, k, v = fn(x, lns, lnb, w, b)
+                return jnp.sum(q ** 2) + jnp.sum(k * v) + jnp.sum(jnp.tanh(v))
+            return f
+
+        gk = jax.grad(loss(
+            lambda *a: ln_qkv_fused(*a, h, 1e-6, 16, True)
+        ), argnums=(0, 1, 2, 3, 4))(x, lns, lnb, w, b)
+        gr = jax.grad(loss(
+            lambda *a: _ln_qkv_reference(*a, h, 1e-6)
+        ), argnums=(0, 1, 2, 3, 4))(x, lns, lnb, w, b)
+        for a, b_ in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-4)
+
     def test_eligibility(self):
         assert ln_qkv_eligible(768, 64)
         assert not ln_qkv_eligible(1152, 72)  # MedSigLIP stays on XLA

@@ -18,9 +18,12 @@ from VMEM with the projection weight resident across all grid steps:
 
 Both are bf16-gated like every kernel here (f32 keeps the exact XLA path
 for converted-checkpoint parity; tanh-GELU error ~1e-3 sits below bf16's
-2^-8 rounding). Backward is the XLA-recompute vjp of the exact reference —
-these are serving-path kernels; the train step's cost is dominated by the
-attention/matmul backwards, and recompute keeps grads exact.
+2^-8 rounding). ln_qkv's backward is analytic (2 matmuls + closed-form LN
+chain; the round-3 recompute vjp paid a third, strided qkv einsum to
+rebuild the linearization). ln_dense keeps the XLA-recompute vjp: its only
+fused call site is the fc1 GELU path, where the GELU derivative needs the
+pre-activation back — recomputing it IS the matmul, so analytic saves
+nothing there (and the fc1 fusion defaults off, models/vit.py).
 
 Reference role: the torch pre-LN transformer blocks inside the HF towers
 the reference loads (model.py:448-533); behavior identical to
@@ -267,15 +270,57 @@ def _ln_qkv_fwd(x, lns, lnb, w, b, num_heads, eps, tile_n, interpret):
 
 
 def _ln_qkv_bwd(num_heads, eps, tile_n, interpret, res, g):
+    """Analytic backward: 2 MXU matmuls (dw, dy) + the closed-form
+    LayerNorm chain. The round-3 recompute vjp re-ran the forward's
+    strided qkv einsum (the slowest matmul in the block profile,
+    BENCHMARKS.md) just to rebuild the linearization; here the normed
+    rows are recomputed elementwise from the saved residual-stream
+    input instead — fwd+bwd drops from 3 to 2 qkv-sized matmuls plus
+    one cheap LN pass."""
     x, lns, lnb, w, b = res
-    has_b = b is not None
-    def ref(x, lns, lnb, w, b):
-        return _ln_qkv_reference(x, lns, lnb, w, b if has_b else None,
-                                 num_heads, eps)
-    _, vjp = jax.vjp(ref, x, lns, lnb, w,
-                     b if has_b else jnp.zeros((3 * x.shape[-1],), x.dtype))
-    dx, dlns, dlnb, dw, db = vjp(g)
-    return dx, dlns, dlnb, dw, (db if has_b else None)
+    bsz, n, c = x.shape
+    gq, gk, gv = g
+    # reassemble the head-major cotangents into the packed (B, N, 3C)
+    # layout of the projection output: (B,H,N,hd) -> (B,N,H*hd), concat
+    # q|k|v along the channel axis (the inverse of the kernel's VMEM
+    # relayout)
+    gcat = jnp.concatenate(
+        [jnp.swapaxes(t, 1, 2).reshape(bsz, n, c) for t in (gq, gk, gv)],
+        axis=-1,
+    )
+    # recompute the normed rows (elementwise; mirrors the forward's f32
+    # LN -> cast-to-x.dtype rounding so dw sees the same y the MXU saw)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0
+    )
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x32 - mean) * inv
+    y = (xhat * lns.astype(jnp.float32) + lnb.astype(jnp.float32)).astype(
+        x.dtype
+    )
+    db = (
+        jnp.sum(gcat.astype(jnp.float32), axis=(0, 1)).astype(b.dtype)
+        if b is not None else None
+    )
+    dw = jnp.einsum(
+        "bnc,bnm->cm", y, gcat.astype(y.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    dy = jnp.einsum(
+        "bnm,cm->bnc", gcat, w.astype(gcat.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    dlns = jnp.sum(dy * xhat, axis=(0, 1)).astype(lns.dtype)
+    dlnb = jnp.sum(dy, axis=(0, 1)).astype(lnb.dtype)
+    dxhat = dy * lns.astype(jnp.float32)
+    dx = inv * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    return dx.astype(x.dtype), dlns, dlnb, dw, db
 
 
 ln_qkv_fused.defvjp(_ln_qkv_fwd, _ln_qkv_bwd)
