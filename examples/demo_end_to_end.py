@@ -27,6 +27,11 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.workdir, exist_ok=True)
+    # the train CLI appends to its metrics log; start each demo run clean so
+    # a reused workdir can't concatenate two learning curves into the artifact
+    metrics_log = f"{args.workdir}/metrics.jsonl"
+    if os.path.exists(metrics_log):
+        os.remove(metrics_log)
     from xmir_tpu.data import split_txt, write_synthetic_covidx
 
     # hard mode: classes share a mean color and differ only by a subtle

@@ -412,6 +412,25 @@ class TestObjectStore:
             assert uri.endswith(f"original/{src.rsplit('/', 1)[1]}")
             assert open(uri, "rb").read() == open(src, "rb").read()
 
+    def test_same_basename_across_subdirs_does_not_collide(self, tmp_path):
+        # NIH-style layout: images_001/x.png and images_002/x.png must map
+        # to distinct keys (relative to the common root), not silently
+        # overwrite each other under key 'original/x.png'
+        from xmir_tpu.utils.objectstore import LocalDirStore, upload_originals
+
+        srcs = []
+        for sub in ("images_001", "images_002"):
+            d = tmp_path / sub
+            d.mkdir()
+            p = d / "x.png"
+            p.write_bytes(f"bytes-from-{sub}".encode())
+            srcs.append(str(p))
+        store = LocalDirStore(str(tmp_path / "bucket"))
+        uris = upload_originals(srcs, store, prefix="original")
+        assert len(set(uris)) == 2
+        for src, uri in zip(srcs, uris):
+            assert open(uri, "rb").read() == open(src, "rb").read()
+
     def test_s3_store_gated(self, monkeypatch):
         from xmir_tpu.utils import objectstore
 

@@ -191,9 +191,10 @@ class TestShardedPallasDispatch:
         np.testing.assert_array_equal(pi, xi)
         np.testing.assert_allclose(pv, xv, rtol=1e-5, atol=1e-5)
 
-    def test_sharded_pallas_uneven_and_k_over_shard(self, rng, monkeypatch):
-        # 67 rows over 8 shards -> last shard holds 3 real rows; k=12 exceeds
-        # the 9-row shards, exercising both the validity mask and the padding
+    def test_sharded_pallas_uneven(self, rng, monkeypatch):
+        # 67 rows over 8 x 128-aligned shards: only shard 0 holds real rows
+        # (67 of 128); every other shard is all-padding (valid_count 0) and
+        # must contribute nothing but -inf slots to the merge
         g = rng.standard_normal((67, 32)).astype(np.float32)
         q = rng.standard_normal((4, 32)).astype(np.float32)
         outs = self._both_modes(monkeypatch, q, g, 12, "cosine", make_mesh())
@@ -201,6 +202,20 @@ class TestShardedPallasDispatch:
         np.testing.assert_array_equal(pi, xi)
         np.testing.assert_allclose(pv, xv, rtol=1e-5, atol=1e-5)
         bv, bi = brute(q, g, 12)
+        np.testing.assert_array_equal(pi, bi)
+
+    def test_sharded_pallas_k_over_shard_rows(self, rng, monkeypatch):
+        # build() 128-aligns shards, so the kk<k pad-to-k branch of
+        # local_search needs k > 128: 200 rows over 8 shards of 128 with
+        # k=150 forces kk=128 on every shard plus 22 -inf pad slots, and the
+        # real rows span two shards (128 + 72) so the merge must interleave
+        g = rng.standard_normal((200, 32)).astype(np.float32)
+        q = rng.standard_normal((3, 32)).astype(np.float32)
+        outs = self._both_modes(monkeypatch, q, g, 150, "cosine", make_mesh())
+        (xv, xi), (pv, pi) = outs["0"], outs["interpret"]
+        np.testing.assert_array_equal(pi, xi)
+        np.testing.assert_allclose(pv, xv, rtol=1e-5, atol=1e-5)
+        bv, bi = brute(q, g, 150)
         np.testing.assert_array_equal(pi, bi)
 
     def test_meshless_interpret_matches_brute(self, rng, monkeypatch):

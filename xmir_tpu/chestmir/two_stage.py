@@ -198,11 +198,16 @@ def rerank_with_specific_lesion(
     stats = _new_stats(lesion=lesion_name, rerank_topk=rerank_topk,
                        global_weight=global_weight, n=n)
     topk = min(rerank_topk, n - 1)
-    q_rows = [i for i in range(n)
-              if choose_query_lesion_vector(lesion_maps[i], key) is not None]
+    # reuse the selection rule's result rather than re-deriving the vector
+    # (keeps this path in lockstep with choose_query_lesion_vector if the
+    # policy ever changes)
+    q_vecs = {i: v for i in range(n)
+              if (v := choose_query_lesion_vector(lesion_maps[i], key))
+              is not None}
+    q_rows = sorted(q_vecs)
     region = None
     if q_rows:
-        q_mat = np.stack([lesion_maps[i][key][0] for i in q_rows])
+        q_mat = np.stack([q_vecs[i] for i in q_rows])
         region = _region_scores_topk(
             q_mat, ranks_base[:topk, q_rows].T, _region_bank(lesion_maps, key)
         )

@@ -443,31 +443,13 @@ def fused_topk(
     compute_dtype=jnp.float32,
     algorithm: str = "auto",
 ):
-    """Metric-aware fused exact top-K (drop-in for ops.topk.tiled_topk)."""
-    if metric == "cosine":
-        q = queries / jnp.maximum(jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
-        g = gallery / jnp.maximum(jnp.linalg.norm(gallery, axis=-1, keepdims=True), 1e-12)
-        bias = jnp.zeros((g.shape[0],), jnp.float32)
-        return fused_topk_scores(q, g, bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm)
-    if metric == "ip":
-        bias = jnp.zeros((gallery.shape[0],), jnp.float32)
-        return fused_topk_scores(queries, gallery, bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm)
-    if metric == "l2":
-        gsq = jnp.sum(gallery.astype(jnp.float32) ** 2, axis=-1)
-        bias = -gsq / 2.0
-        vals, idxs = fused_topk_scores(queries, gallery, bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm)
-        # recompute true negative-L2 values on the gathered top-K
-        gsel = jnp.take(gallery, idxs, axis=0)  # (Q, k, D)
-        diff = queries[:, None, :].astype(jnp.float32) - gsel.astype(jnp.float32)
-        true_vals = -jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
-        return true_vals, idxs
-    if metric == "hamming":
-        sq = jnp.where(queries >= 0, 1.0, -1.0).astype(jnp.float32)
-        sg = jnp.where(gallery >= 0, 1.0, -1.0).astype(jnp.float32)
-        bias = jnp.zeros((sg.shape[0],), jnp.float32)
-        vals, idxs = fused_topk_scores(
-            sq, sg, bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm
-        )
-        d = queries.shape[-1]
-        return -(d - vals) / 2.0, idxs
-    raise ValueError(f"unknown metric {metric!r}")
+    """Metric-aware fused exact top-K (drop-in for ops.topk.tiled_topk).
+
+    The no-mask form of ``fused_topk_masked``: with ``valid_count`` equal
+    to the static gallery length the mask bias constant-folds to the same
+    all-zero bias this function used to build, and the -inf guards on the
+    l2 path are no-ops (nothing is masked, k <= n yields finite scores)."""
+    return fused_topk_masked(
+        queries, gallery, k, gallery.shape[0], metric,
+        tile_q, tile_g, interpret, compute_dtype, algorithm,
+    )

@@ -249,6 +249,11 @@ def make_conceptclip_train_step(model, alpha: float = 0.5,
         return flat_feats.reshape(b, w, -1)
 
     def concept_feats_deduped(variables, unique_ids, unique_tok_mask, inverse):
+        # same [PAD]-mask default as the undeduped path: dedupe_concept_batch
+        # always supplies a mask, but a direct caller passing None must not
+        # silently let PAD tokens into self-attention
+        if unique_tok_mask is None:
+            unique_tok_mask = unique_ids != 0
         unique_feats = model.apply(
             variables, unique_ids, unique_tok_mask, method=model.encode_text
         )  # (U, D)

@@ -94,11 +94,20 @@ def resolve_store(dest: str):
 def upload_originals(
     image_paths: Sequence[str], store, prefix: str = "original"
 ) -> List[str]:
-    """Upload every original and return the stored URIs, in order
-    (reference upload_images_to_s3: key = prefix/basename)."""
+    """Upload every original and return the stored URIs, in order.
+
+    Keys are the path relative to the images' common root, so a manifest
+    spanning subdirectories (e.g. NIH's images_001/x.png, images_002/x.png)
+    cannot silently overwrite same-named files. When every image sits in
+    one directory this reduces to the reference's key = prefix/basename
+    (upload_images_to_s3, ingest_embeddings.py:319-383)."""
     prefix = prefix.strip("/")
+    dirs = {os.path.dirname(os.path.abspath(p)) for p in image_paths}
+    common = os.path.commonpath(sorted(dirs)) if dirs else ""
     stored = []
     for p in image_paths:
-        key = f"{prefix}/{os.path.basename(p)}" if prefix else os.path.basename(p)
+        rel = os.path.relpath(os.path.abspath(p), common)
+        rel = rel.replace(os.sep, "/")
+        key = f"{prefix}/{rel}" if prefix else rel
         stored.append(store.upload(p, key))
     return stored
