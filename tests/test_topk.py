@@ -70,6 +70,26 @@ class TestFusedPallasTopk:
         )
         np.testing.assert_array_equal(np.asarray(idxs), [[0, 1, 2], [0, 1, 2]])
 
+    @pytest.mark.parametrize("prec", ["default", "highest", None])
+    def test_precision_knob_threads_through(self, rng, monkeypatch, prec):
+        # XMIR_TOPK_PRECISION / precision= selects the score-matmul MXU
+        # precision: on TPU 'default' rounds f32 inputs to bf16 (near-ties
+        # below ~2^-8 relative may reorder vs float64 brute force, measured
+        # 3.48x faster), 'highest' is tie-exact. On CPU both are exact; this
+        # pins that every spelling compiles and agrees with brute force.
+        if prec is None:
+            monkeypatch.setenv("XMIR_TOPK_PRECISION", "highest")
+        q = rng.standard_normal((5, 64)).astype(np.float32)
+        g = rng.standard_normal((260, 64)).astype(np.float32)
+        kw = {} if prec is None else {"precision": prec}
+        vals, idxs = fused_topk(
+            jnp.asarray(q), jnp.asarray(g), k=6, metric="cosine",
+            tile_q=8, tile_g=128, interpret=True, **kw,
+        )
+        bv, bi = brute_topk(q, g, 6, "cosine")
+        np.testing.assert_array_equal(np.asarray(idxs), bi)
+        np.testing.assert_allclose(np.asarray(vals), bv, atol=1e-4)
+
     def test_multi_tile_boundary(self, rng):
         # gallery larger than one tile; best hits placed in later tiles
         q = rng.standard_normal((3, 32)).astype(np.float32)

@@ -27,6 +27,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(-jnp.inf)
 
 
+def _resolve_precision(precision):
+    """None -> the XMIR_TOPK_PRECISION env default ('default'): TPU DEFAULT
+    matmul precision rounds f32 inputs to bf16 on the MXU — the same
+    semantics as the XLA tiled_topk path, so near-ties closer than ~2^-8
+    relative may order differently from a float64 brute force. 'highest'
+    runs the score matmul in the multi-pass true-f32 form for tie-exact
+    rankings at ~2-3x matmul cost (serving keeps 'default')."""
+    import os
+
+    if precision is None:
+        precision = os.environ.get("XMIR_TOPK_PRECISION", "default")
+    if isinstance(precision, str):
+        return {
+            "default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[precision]
+    return precision
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -59,7 +78,7 @@ def _merge_candidates(vals, idxs, cand_v, cand_i_f, k):
     return new_vals, new_idxs
 
 
-def _topk_kernel(q_ref, g_ref, bias_ref, vals_out, idxs_out, vals_s, idxs_s, *, k, k_pad, tile_g, n_real):
+def _topk_kernel(q_ref, g_ref, bias_ref, vals_out, idxs_out, vals_s, idxs_s, *, k, k_pad, tile_g, n_real, precision=None):
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
 
@@ -69,7 +88,8 @@ def _topk_kernel(q_ref, g_ref, bias_ref, vals_out, idxs_out, vals_s, idxs_s, *, 
         idxs_s[:] = jnp.zeros_like(idxs_s)
 
     s = jnp.dot(
-        q_ref[:], g_ref[:].T, preferred_element_type=jnp.float32
+        q_ref[:], g_ref[:].T, preferred_element_type=jnp.float32,
+        precision=precision,
     )  # (TQ, TG); bf16 inputs hit the MXU single-pass, f32 accumulate
     s = s + bias_ref[:]  # (1, TG) broadcast
     base = j * tile_g
@@ -91,7 +111,7 @@ def _topk_kernel(q_ref, g_ref, bias_ref, vals_out, idxs_out, vals_s, idxs_s, *, 
 def _topk_kernel_pruned(
     q_ref, g_ref, bias_ref, vals_out, idxs_out, vals_s, idxs_s,
     pend_v1, pend_i1, pend_v2, pend_i2,
-    *, k, k_pad, tile_g, n_real,
+    *, k, k_pad, tile_g, n_real, precision=None,
 ):
     """Exact fused top-K with candidate pruning (the fast path, k <= 128).
 
@@ -127,7 +147,8 @@ def _topk_kernel_pruned(
         pend_v2[:] = jnp.full_like(pend_v2, NEG_INF)
         pend_i2[:] = jnp.zeros_like(pend_i2)
 
-    s = jnp.dot(q_ref[:], g_ref[:].T, preferred_element_type=jnp.float32)
+    s = jnp.dot(q_ref[:], g_ref[:].T, preferred_element_type=jnp.float32,
+                precision=precision)
     s = s + bias_ref[:]
     base = j * tile_g
     gcol = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
@@ -216,7 +237,7 @@ def _topk_kernel_pruned(
     jax.jit,
     static_argnames=(
         "k", "tile_q", "tile_g", "interpret", "compute_dtype", "algorithm",
-        "out_vma",
+        "out_vma", "precision",
     ),
 )
 def fused_topk_scores(
@@ -230,6 +251,7 @@ def fused_topk_scores(
     compute_dtype=jnp.float32,
     algorithm: str = "auto",
     out_vma: tuple = (),
+    precision: str = None,
 ):
     """Core fused kernel on dot-product+bias scores.
 
@@ -335,7 +357,8 @@ def fused_topk_scores(
     else:
         kernel_fn = _topk_kernel
     kernel = functools.partial(
-        kernel_fn, k=k, k_pad=k_pad, tile_g=tile_g, n_real=n_real
+        kernel_fn, k=k, k_pad=k_pad, tile_g=tile_g, n_real=n_real,
+        precision=_resolve_precision(precision),
     )
     vals, idxs = pl.pallas_call(
         kernel,
@@ -381,6 +404,7 @@ def fused_topk_masked(
     compute_dtype=jnp.float32,
     algorithm: str = "auto",
     out_vma: tuple = (),
+    precision: str = None,
 ):
     """fused_topk with a traced per-call validity count.
 
@@ -396,20 +420,24 @@ def fused_topk_masked(
     the cross-shard merge can filter them uniformly.
     """
     n = gallery.shape[0]
+    if precision is None:
+        import os
+        precision = os.environ.get("XMIR_TOPK_PRECISION", "default")
     mask_bias = jnp.where(
         jnp.arange(n) < valid_count, jnp.float32(0), jnp.float32(NEG_INF)
     )
     if metric == "cosine":
         q = queries / jnp.maximum(jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
         g = gallery / jnp.maximum(jnp.linalg.norm(gallery, axis=-1, keepdims=True), 1e-12)
-        return fused_topk_scores(q, g, mask_bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm, out_vma)
+        return fused_topk_scores(q, g, mask_bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm, out_vma, precision)
     if metric == "ip":
-        return fused_topk_scores(queries, gallery, mask_bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm, out_vma)
+        return fused_topk_scores(queries, gallery, mask_bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm, out_vma, precision)
     if metric == "l2":
         gsq = jnp.sum(gallery.astype(jnp.float32) ** 2, axis=-1)
         vals, idxs = fused_topk_scores(
             queries, gallery, mask_bias - gsq / 2.0, k,
             tile_q, tile_g, interpret, compute_dtype, algorithm, out_vma,
+            precision,
         )
         # recompute true negative-L2 on the gathered top-K, preserving the
         # -inf markers of sub-k slots (invalid/padded rows gather row 0's
@@ -423,7 +451,7 @@ def fused_topk_masked(
         sg = jnp.where(gallery >= 0, 1.0, -1.0).astype(jnp.float32)
         vals, idxs = fused_topk_scores(
             sq, sg, mask_bias, k, tile_q, tile_g, interpret, compute_dtype, algorithm,
-            out_vma,
+            out_vma, precision,
         )
         d = queries.shape[-1]
         # -(d - (-inf)) / 2 == -inf: the padding markers survive the affine
@@ -442,6 +470,7 @@ def fused_topk(
     interpret: bool = False,
     compute_dtype=jnp.float32,
     algorithm: str = "auto",
+    precision: str = None,
 ):
     """Metric-aware fused exact top-K (drop-in for ops.topk.tiled_topk).
 
@@ -452,4 +481,5 @@ def fused_topk(
     return fused_topk_masked(
         queries, gallery, k, gallery.shape[0], metric,
         tile_q, tile_g, interpret, compute_dtype, algorithm,
+        precision=precision,
     )
