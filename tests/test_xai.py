@@ -500,3 +500,90 @@ class TestGradCAMSimilarity:
         d[0, 2, 5] = eps
         fd = (float(sim(jnp.asarray(d))) - float(sim(jnp.asarray(-d)))) / (2 * eps)
         assert fd == pytest.approx(float(np.asarray(g)[0, 2, 5]), abs=1e-3)
+
+
+class TestMeshXAI:
+    """Multi-device XAI fan-out (VERDICT r4 #1): the mesh-sharded SBSM mask
+    axis and ins/del pair axis must reproduce the single-device results on
+    the 8-device CPU mesh (fp-tolerant: psum reassociates the mask sum)."""
+
+    def _mesh(self):
+        from xmir_tpu.parallel import make_mesh
+
+        return make_mesh((8,), axis_names=("data",))
+
+    def test_sbsm_self_mesh_matches_single_device(self):
+        from xmir_tpu.xai import sbsm_self_saliency_mesh
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((3, 32, 32, 3)), jnp.float32)
+        masks = jnp.asarray(generate_masks(32, 8, 4))  # 49 masks: pads to 56
+        ref = np.asarray(sbsm_self_saliency(toy_embed_fn, {}, x, masks, chunk=32))
+        got = np.asarray(
+            sbsm_self_saliency_mesh(toy_embed_fn, {}, x, masks, self._mesh(), chunk=32)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_sbsm_pair_mesh_matches_single_device(self):
+        from xmir_tpu.xai import sbsm_pair_saliency_mesh
+
+        rng = np.random.default_rng(1)
+        xq = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+        xr = jnp.asarray(rng.random((3, 32, 32, 3)), jnp.float32)
+        masks = jnp.asarray(generate_masks(32, 8, 4))
+        ref = np.asarray(
+            sbsm_pair_saliency(toy_embed_fn, {}, xq, xr, masks, chunk=32)
+        )
+        got = np.asarray(
+            sbsm_pair_saliency_mesh(
+                toy_embed_fn, {}, xq, xr, masks, self._mesh(), chunk=32
+            )
+        )
+        assert got.shape == (2, 3, 32, 32)
+        # (m_dist - o_dist)+ clamps near zero, so chunk-order fp noise in the
+        # embeds shifts the tiny excesses by ~1e-6 absolute
+        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=1e-5)
+
+    def test_causal_pairs_mesh_matches_single_device(self):
+        from xmir_tpu.xai import causal_scores_batch, causal_scores_batch_mesh
+
+        rng = np.random.default_rng(2)
+        p, h, w = 5, 8, 8  # 5 pairs pad to 8 over the mesh
+        starts = jnp.asarray(rng.random((p, h, w, 3)), jnp.float32)
+        finishes = jnp.zeros_like(starts)
+        sal = rng.random((p, h * w)).astype(np.float32)
+        ranks = jnp.stack([saliency_rank(jnp.asarray(s)) for s in sal])
+        q_feat = toy_embed_fn({}, starts[:1])[0]
+        ref = np.asarray(
+            causal_scores_batch(
+                toy_embed_fn, {}, q_feat, starts, finishes, ranks, 16,
+                batch_steps=4,
+            )
+        )
+        got = np.asarray(
+            causal_scores_batch_mesh(
+                toy_embed_fn, {}, q_feat, starts, finishes, ranks, 16,
+                self._mesh(), batch_steps=4,
+            )
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_run_causal_metric_pairs_mesh_auc_equal(self):
+        from xmir_tpu.xai import run_causal_metric_pairs
+
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.random((8, 8, 3)), jnp.float32)
+        r_imgs = jnp.asarray(rng.random((3, 8, 8, 3)), jnp.float32)
+        sals = [rng.random((8, 8)).astype(np.float32) for _ in range(3)]
+        ref = run_causal_metric_pairs(
+            toy_embed_fn, {}, q, r_imgs, sals, "del", zeros_substrate,
+            step=16, batch_steps=4,
+        )
+        got = run_causal_metric_pairs(
+            toy_embed_fn, {}, q, r_imgs, sals, "del", zeros_substrate,
+            step=16, batch_steps=4, mesh=self._mesh(),
+        )
+        for (a0, z0), (a1, z1) in zip(ref, got):
+            assert a1 == pytest.approx(a0, abs=1e-6)
+            assert z0 == z1

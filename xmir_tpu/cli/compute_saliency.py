@@ -35,16 +35,36 @@ def main(argv=None):
     p.add_argument("--top-k", default=5, type=int)
     p.add_argument("--save-dir", default="./saliency")
     p.add_argument("--limit", default=0, type=int, help="Max queries (0 = all)")
+    p.add_argument("--use-mesh", action="store_true",
+                   help="Fan the SBSM mask axis out over all local devices "
+                        "(the TPU-native form of the reference's "
+                        "DataParallel mask fan-out, compute_saliency.py:67)")
     args = p.parse_args(argv)
 
     from ..data import batch_iterator, eval_preprocess
-    from ..xai import generate_masks, sbsm_pair_saliency, sbsm_self_saliency
+    from ..xai import (
+        generate_masks,
+        sbsm_pair_saliency,
+        sbsm_pair_saliency_mesh,
+        sbsm_self_saliency,
+        sbsm_self_saliency_mesh,
+    )
 
     dataset = build_dataset(args, args.split)
     model, spec, variables = build_model(args, train=False)
     embed = jitted_embed(model)
     os.makedirs(args.save_dir, exist_ok=True)
     size = spec.input_size
+
+    mesh = None
+    if args.use_mesh:
+        import jax
+
+        from ..parallel import make_mesh
+        from ..parallel.mesh import DATA_AXIS
+
+        mesh = make_mesh((jax.device_count(),), axis_names=(DATA_AXIS,))
+        print(f">> mask fan-out over {mesh.shape} mesh")
 
     def prep(imgs):
         return eval_preprocess(imgs, spec.resize_size, size, spec.mean, spec.std)
@@ -53,15 +73,32 @@ def main(argv=None):
         masks = jnp.asarray(generate_masks(size, args.window_size, args.stride))
         print(f">> {masks.shape[0]} occlusion masks "
               f"(window={args.window_size}, stride={args.stride})")
+
+        def self_saliency(x):
+            if mesh is not None:
+                return sbsm_self_saliency_mesh(
+                    embed, variables, x, masks, mesh, chunk=args.gpu_batch
+                )
+            return sbsm_self_saliency(
+                embed, variables, x, masks, chunk=args.gpu_batch
+            )
+
+        def pair_saliency(q_img, r_imgs):
+            if mesh is not None:
+                return sbsm_pair_saliency_mesh(
+                    embed, variables, q_img, r_imgs, masks, mesh,
+                    chunk=args.gpu_batch,
+                )
+            return sbsm_pair_saliency(
+                embed, variables, q_img, r_imgs, masks, chunk=args.gpu_batch
+            )
         if not args.results:
             count = 0
             for imgs, labs, idxs in batch_iterator(
                 dataset, args.eval_batch_size, image_size=spec.resize_size,
                 num_workers=args.workers,
             ):
-                sal = sbsm_self_saliency(
-                    embed, variables, prep(imgs), masks, chunk=args.gpu_batch
-                )
+                sal = self_saliency(prep(imgs))
                 for j, gi in enumerate(np.asarray(idxs)):
                     np.save(
                         os.path.join(args.save_dir, f"sal_{int(gi):06d}.npy"),
@@ -81,10 +118,7 @@ def main(argv=None):
                 r_imgs = np.stack(
                     [dataset.load_image(int(r)) for r in ranks[qi]]
                 )
-                sal = sbsm_pair_saliency(
-                    embed, variables, q_img, prep(r_imgs), masks,
-                    chunk=args.gpu_batch,
-                )
+                sal = pair_saliency(q_img, prep(r_imgs))
                 for j, r in enumerate(ranks[qi]):
                     np.save(
                         os.path.join(args.save_dir, f"sal_q{qi:05d}_r{int(r):05d}.npy"),

@@ -1,4 +1,10 @@
-from .sbsm import generate_masks, sbsm_pair_saliency, sbsm_self_saliency
+from .sbsm import (
+    generate_masks,
+    sbsm_pair_saliency,
+    sbsm_pair_saliency_mesh,
+    sbsm_self_saliency,
+    sbsm_self_saliency_mesh,
+)
 from .simatt import simatt_saliency
 from .simcam import (
     point_specific_map,
@@ -25,7 +31,11 @@ from .variants import (
     sim_score_cam,
     transform_query,
 )
-from .causal import causal_scores_batch, run_causal_metric_pairs
+from .causal import (
+    causal_scores_batch,
+    causal_scores_batch_mesh,
+    run_causal_metric_pairs,
+)
 from .gradcam_sim import make_vit_gradcam_fn, vit_gradcam_similarity
 from .conceptxai import (
     attention_heatmap,

@@ -164,6 +164,55 @@ def causal_scores_batch(
     return scores.T  # (P, n_steps+1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("embed_fn", "step", "mesh", "batch_steps")
+)
+def causal_scores_batch_mesh(
+    embed_fn,
+    variables,
+    q_feat: jnp.ndarray,
+    starts: jnp.ndarray,
+    finishes: jnp.ndarray,
+    ranks: jnp.ndarray,
+    step: int,
+    mesh,
+    batch_steps: int = 8,
+):
+    """`causal_scores_batch` with the PAIR axis sharded over the mesh `data`
+    axis: every device runs the full reveal-step curve for its own
+    query-retrieval pairs (the multi-device form of the reference's serial
+    per-pair loop, evaluate_test_dataset_milvus.py:446-590). Embarrassingly
+    parallel — no cross-pair reduction, so per-pair results match the
+    single-device path. Pads the pair axis with zero images (sliced off)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    n_dev = mesh.shape[DATA_AXIS]
+    p_n = starts.shape[0]
+    pad = (-p_n) % n_dev
+    if pad:
+        zimg = jnp.zeros((pad,) + starts.shape[1:], starts.dtype)
+        starts = jnp.concatenate([starts, zimg], axis=0)
+        finishes = jnp.concatenate([finishes, zimg], axis=0)
+        ranks = jnp.concatenate(
+            [ranks, jnp.zeros((pad,) + ranks.shape[1:], ranks.dtype)], axis=0
+        )
+
+    def local(v, qf, st, fi, rk):
+        return causal_scores_batch(
+            embed_fn, v, qf, st, fi, rk, step, batch_steps
+        )
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+    )
+    return f(variables, q_feat, starts, finishes, ranks)[:p_n]
+
+
 def run_causal_metric_pairs(
     embed_fn,
     variables,
@@ -174,9 +223,12 @@ def run_causal_metric_pairs(
     substrate_fn: Callable,
     step: int = 224,
     batch_steps: int = 8,
+    mesh=None,
 ):
     """Batched multi-pair run for one query. retrieved_images (P, H, W, C),
-    explanations (P, H, W). Returns lists of (auc, zero_count) per pair."""
+    explanations (P, H, W). Returns lists of (auc, zero_count) per pair.
+    With ``mesh``, pairs fan out over the mesh data axis
+    (causal_scores_batch_mesh)."""
     q_feat = embed_fn(variables, query_image[None])[0]
     subs = substrate_fn(retrieved_images)
     if mode == "del":
@@ -186,11 +238,19 @@ def run_causal_metric_pairs(
     else:
         raise ValueError("mode must be 'del' or 'ins'")
     ranks = jnp.stack([saliency_rank(jnp.asarray(e)) for e in explanations])
-    scores = np.asarray(
-        causal_scores_batch(
-            embed_fn, variables, q_feat, starts, finishes, ranks, step, batch_steps
+    if mesh is not None:
+        scores = np.asarray(
+            causal_scores_batch_mesh(
+                embed_fn, variables, q_feat, starts, finishes, ranks, step,
+                mesh, batch_steps,
+            )
         )
-    )
+    else:
+        scores = np.asarray(
+            causal_scores_batch(
+                embed_fn, variables, q_feat, starts, finishes, ranks, step, batch_steps
+            )
+        )
     out = []
     for p in range(scores.shape[0]):
         clipped = np.clip(scores[p], 0.0, 1.0)

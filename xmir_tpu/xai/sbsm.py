@@ -5,8 +5,11 @@ masks occlude the retrieved image; saliency accumulates the distance increase
 (m_dist - o_dist)+ at occluded pixels, normalized by per-pixel coverage.
 The reference fans mask batches across GPUs with DataParallel
 (README.md:76, compute_saliency.py:67); here the mask stack is a constant
-tensor streamed through `lax.map` chunks of a jitted embed function — one
-device or many (shard the chunk axis over the mesh data axis).
+tensor streamed through `lax.map` chunks of a jitted embed function on one
+device; `sbsm_self_saliency_mesh` / `sbsm_pair_saliency_mesh` shard the MASK
+axis over the mesh `data` axis with shard_map — each device embeds its own
+mask shard and the per-pixel accumulation is one psum (the TPU-native form
+of the reference's DataParallel mask fan-out).
 """
 from __future__ import annotations
 
@@ -102,3 +105,103 @@ def sbsm_pair_saliency(embed_fn, variables, x_q, x, masks, chunk: int = 128):
     excess = jnp.maximum(m_dist - o_dist[:, :, None], 0.0)  # (Bq, B, N)
     k = excess[..., None, None] * (1.0 - masks)[None, None]  # (Bq, B, N, H, W)
     return jnp.sum(k, axis=2) / jnp.maximum(count, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# multi-device mask fan-out (the reference's one multi-GPU-optimized method:
+# DataParallel over mask batches, README.md:76, compute_saliency.py:67,107,279,
+# explanations.py:105-152). TPU-native form: the mask stack shards over the
+# mesh `data` axis, every device embeds only its own masks, and the per-pixel
+# numerator — which is a plain sum over masks — is reduced with one psum.
+# Pad masks are all-ones (nothing occluded), so their (1 - mask) factor is
+# exactly 0 and they contribute nothing; the coverage denominator is computed
+# from the real mask stack outside the region.
+# ---------------------------------------------------------------------------
+
+
+def _pad_mask_axis(masks, n_dev: int):
+    pad = (-masks.shape[0]) % n_dev
+    if pad:
+        masks = jnp.concatenate(
+            [masks, jnp.ones((pad,) + masks.shape[1:], masks.dtype)], axis=0
+        )
+    return masks
+
+
+@functools.partial(jax.jit, static_argnames=("embed_fn", "mesh", "chunk"))
+def sbsm_self_saliency_mesh(embed_fn, variables, x, masks, mesh, chunk: int = 128):
+    """`sbsm_self_saliency` with the mask axis sharded over the mesh `data`
+    axis. Results equal the single-device path up to float summation order
+    (the psum reassociates the over-masks sum)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    n_dev = mesh.shape[DATA_AXIS]
+    count = masks.shape[0] - jnp.sum(masks.astype(jnp.float32), axis=0)
+    masks_p = _pad_mask_axis(masks, n_dev)
+    local_chunk = min(chunk, masks_p.shape[0] // n_dev)
+
+    def local(v, xx, qq, m_shard):
+        m_shard = m_shard.astype(jnp.float32)
+
+        def per_image(args):
+            img, q_emb = args
+            me = _masked_embeds(embed_fn, v, img, m_shard, local_chunk)
+            m_dist = jnp.linalg.norm(q_emb[None] - me, axis=1)
+            k = (1.0 - m_shard) * m_dist[:, None, None]
+            return jnp.sum(k, axis=0)
+
+        partial = jax.lax.map(per_image, (xx, qq))  # (B, H, W)
+        return jax.lax.psum(partial, DATA_AXIS)
+
+    q = embed_fn(variables, x)
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS)),
+        out_specs=P(),
+    )
+    numer = f(variables, x, q, masks_p)
+    return numer / jnp.maximum(count, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("embed_fn", "mesh", "chunk"))
+def sbsm_pair_saliency_mesh(
+    embed_fn, variables, x_q, x, masks, mesh, chunk: int = 128
+):
+    """`sbsm_pair_saliency` with the mask axis sharded over the mesh `data`
+    axis: x_q (Bq, H, W, C), x (B, H, W, C) -> (Bq, B, H, W)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    n_dev = mesh.shape[DATA_AXIS]
+    count = masks.shape[0] - jnp.sum(masks.astype(jnp.float32), axis=0)
+    masks_p = _pad_mask_axis(masks, n_dev)
+    local_chunk = min(chunk, masks_p.shape[0] // n_dev)
+
+    def local(v, qq, xx, od, m_shard):
+        m_shard = m_shard.astype(jnp.float32)
+
+        def per_retrieved(img):
+            me = _masked_embeds(embed_fn, v, img, m_shard, local_chunk)
+            return _cdist(qq, me)  # (Bq, Nl)
+
+        m_dist = jax.lax.map(per_retrieved, xx)  # (B, Bq, Nl)
+        m_dist = jnp.transpose(m_dist, (1, 0, 2))  # (Bq, B, Nl)
+        excess = jnp.maximum(m_dist - od[:, :, None], 0.0)
+        k = excess[..., None, None] * (1.0 - m_shard)[None, None]
+        return jax.lax.psum(jnp.sum(k, axis=2), DATA_AXIS)
+
+    q = embed_fn(variables, x_q)
+    r = embed_fn(variables, x)
+    o_dist = _cdist(q, r)
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(DATA_AXIS)),
+        out_specs=P(),
+    )
+    numer = f(variables, q, x, o_dist, masks_p)
+    return numer / jnp.maximum(count, 1.0)
