@@ -182,3 +182,24 @@ def jitted_embed(model):
     from ..train import make_embed_fn
 
     return jax.jit(make_embed_fn(model))
+
+
+def add_precision_args(p: argparse.ArgumentParser):
+    p.add_argument(
+        "--score-precision", default="highest",
+        choices=["highest", "default"],
+        help="Score-matmul MXU precision for ranking. 'highest' (default for "
+             "offline eval) scores in true f32 like the reference "
+             "(test.py:1080 torch.cdist / Milvus COSINE); 'default' allows "
+             "bf16 MXU rounding (the serving mode — near-ties within ~2^-8 "
+             "relative may reorder).",
+    )
+
+
+def apply_score_precision(args):
+    """Default BOTH precision envs from --score-precision: XMIR_TOPK_PRECISION
+    drives the fused/tiled top-K kernels (ops/topk_pallas.py,
+    ops/distance.py), XMIR_EVAL_PRECISION the (N, N) eval similarity matrices
+    (metrics/retrieval.py). Explicitly-set envs win over the flag."""
+    os.environ.setdefault("XMIR_TOPK_PRECISION", args.score_precision)
+    os.environ.setdefault("XMIR_EVAL_PRECISION", args.score_precision)

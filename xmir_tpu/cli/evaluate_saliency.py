@@ -15,13 +15,22 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from .common import add_dataset_args, add_model_args, build_dataset, build_model, jitted_embed
+from .common import (
+    add_dataset_args,
+    add_model_args,
+    add_precision_args,
+    apply_score_precision,
+    build_dataset,
+    build_model,
+    jitted_embed,
+)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="xmir-tpu insertion/deletion eval")
     add_dataset_args(p)
     add_model_args(p)
+    add_precision_args(p)
     p.add_argument("--split", default="test", choices=["train", "val", "test"])
     p.add_argument("--saliency-dir", default="",
                    help="Precomputed maps (sal_q{q}_r{r}.npy); computed on the fly when empty")
@@ -45,7 +54,13 @@ def main(argv=None):
                    help="Resume: skip queries already present in --output "
                         "(reference evaluate_test_dataset_milvus.py:252-299)")
     p.add_argument("--output", default="insertion_deletion_results.json")
+    p.add_argument("--use-mesh", action="store_true",
+                   help="Fan the SBSM mask axis + the ins/del pair axis out "
+                        "over all local devices, and shard the retrieval "
+                        "gallery row-wise (the multi-device form of the "
+                        "reference's DataParallel saliency evaluation)")
     args = p.parse_args(argv)
+    apply_score_precision(args)
 
     from ..data import eval_preprocess
     from ..data.pipeline import embed_dataset
@@ -56,6 +71,7 @@ def main(argv=None):
         generate_masks,
         run_causal_metric_pairs,
         sbsm_pair_saliency,
+        sbsm_pair_saliency_mesh,
         zeros_substrate,
     )
 
@@ -64,6 +80,16 @@ def main(argv=None):
     embed = jitted_embed(model)
     size = spec.input_size
 
+    mesh = None
+    if args.use_mesh:
+        import jax
+
+        from ..parallel import make_mesh
+        from ..parallel.mesh import DATA_AXIS
+
+        mesh = make_mesh((jax.device_count(),), axis_names=(DATA_AXIS,))
+        print(f">> XAI fan-out + sharded gallery over {mesh.shape} mesh")
+
     def prep(imgs):
         return eval_preprocess(imgs, spec.resize_size, size, spec.mean, spec.std)
 
@@ -71,7 +97,7 @@ def main(argv=None):
     embeds, labels = embed_dataset(dataset, embed, variables, spec)
     idx = ShardedGalleryIndex(embeds.shape[1])
     idx.add(embeds, labels, [str(n) for n in dataset.image_names])
-    idx.build()
+    idx.build(mesh)
     _, topk_ids = idx.search(
         embeds, k=args.top_k, exclude_ids=np.arange(len(dataset))
     )
@@ -86,9 +112,15 @@ def main(argv=None):
         masks = jnp.asarray(generate_masks(size, args.window_size, args.stride))
 
         def pair_saliency(q_img, r_imgs):
-            sal = sbsm_pair_saliency(
-                embed, variables, q_img, r_imgs, masks, chunk=args.gpu_batch
-            )
+            if mesh is not None:
+                sal = sbsm_pair_saliency_mesh(
+                    embed, variables, q_img, r_imgs, masks, mesh,
+                    chunk=args.gpu_batch,
+                )
+            else:
+                sal = sbsm_pair_saliency(
+                    embed, variables, q_img, r_imgs, masks, chunk=args.gpu_batch
+                )
             return [np.asarray(sal[0, j]) for j in range(r_imgs.shape[0])]
     elif args.explainer == "simatt":
         from ..xai import get_feature_head, simatt_saliency
@@ -158,11 +190,11 @@ def main(argv=None):
         # images for a chunk of steps)
         del_res = run_causal_metric_pairs(
             embed, variables, q_img[0], r_imgs, sals, "del",
-            zeros_substrate, step=args.step,
+            zeros_substrate, step=args.step, mesh=mesh,
         )
         ins_res = run_causal_metric_pairs(
             embed, variables, q_img[0], r_imgs, sals, "ins",
-            blur, step=args.step,
+            blur, step=args.step, mesh=mesh,
         )
         del_aucs = [a for a, _ in del_res]
         ins_aucs = [a for a, _ in ins_res]

@@ -10,13 +10,22 @@ import json
 
 import numpy as np
 
-from .common import add_dataset_args, add_model_args, build_dataset, build_model, jitted_embed
+from .common import (
+    add_dataset_args,
+    add_model_args,
+    add_precision_args,
+    apply_score_precision,
+    build_dataset,
+    build_model,
+    jitted_embed,
+)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="xmir-tpu gallery query")
     add_dataset_args(p)
     add_model_args(p)
+    add_precision_args(p)
     p.add_argument("--index", required=True, help="Gallery .npz from xmir ingest")
     p.add_argument("--split", default="test", choices=["train", "val", "test"])
     p.add_argument("--top-k", default=10, type=int,
@@ -28,6 +37,7 @@ def main(argv=None):
                    help="OLD=NEW gallery path prefix rewrite (reference "
                         "milvus/path_mapper.py, e.g. /kaggle/input=/data)")
     args = p.parse_args(argv)
+    apply_score_precision(args)
 
     from ..data.pipeline import embed_dataset
     from ..index import ShardedGalleryIndex

@@ -15,7 +15,16 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from .common import add_dataset_args, add_model_args, build_dataset, build_model, is_multilabel, jitted_embed
+from .common import (
+    add_dataset_args,
+    add_model_args,
+    add_precision_args,
+    apply_score_precision,
+    build_dataset,
+    build_model,
+    is_multilabel,
+    jitted_embed,
+)
 
 
 def single_label_metrics(dists: np.ndarray, labels: np.ndarray) -> dict:
@@ -196,7 +205,9 @@ def main(argv=None):
                    help="biomedclip tower depth (reduce for smoke runs)")
     p.add_argument("--clip-dim", default=768, type=int)
     p.add_argument("--clip-image-size", default=224, type=int)
+    add_precision_args(p)
     args = p.parse_args(argv)
+    apply_score_precision(args)
 
     from ..data.pipeline import embed_dataset
 

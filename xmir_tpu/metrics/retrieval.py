@@ -15,6 +15,7 @@ numpy on host (tiny relative to the matmuls).
 """
 from __future__ import annotations
 
+import os
 from collections import Counter
 
 import jax.numpy as jnp
@@ -25,20 +26,35 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-def pairwise_cosine(embeds: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+def _eval_precision(precision=None):
+    """Offline evaluation scores in TRUE f32 by default: the reference ranks
+    with f32 torch.cdist (test.py:1080) / f32 cosine, while TPU DEFAULT
+    matmul precision rounds f32 inputs to bf16 on the MXU and can reorder
+    near-ties closer than ~2^-8 relative — rank-sensitive metrics (mAP, R@K)
+    must not depend on which near-ties the MXU happens to round. Override
+    per-call or with XMIR_EVAL_PRECISION=default (serving paths use the
+    separately-defaulted XMIR_TOPK_PRECISION, ops/topk_pallas.py)."""
+    if precision is None:
+        precision = os.environ.get("XMIR_EVAL_PRECISION", "highest")
+    return precision
+
+
+def pairwise_cosine(embeds: jnp.ndarray, eps: float = 1e-12, precision=None) -> jnp.ndarray:
     """(N, D) -> (N, N) cosine similarity (inputs need not be pre-normalized)."""
     norms = jnp.linalg.norm(embeds, axis=1, keepdims=True)
     e = embeds / jnp.maximum(norms, eps)
-    return e @ e.T
+    return jnp.matmul(e, e.T, precision=_eval_precision(precision))
 
 
-def pairwise_neg_l2(embeds: jnp.ndarray) -> jnp.ndarray:
+def pairwise_neg_l2(embeds: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Negative euclidean distance matrix, matching ``-torch.cdist(e, e)``.
 
     Reference test.py:1080 uses negative L2 so "higher == more similar".
     """
     sq = jnp.sum(embeds * embeds, axis=1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (embeds @ embeds.T)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+        embeds, embeds.T, precision=_eval_precision(precision)
+    )
     d = -jnp.sqrt(jnp.maximum(d2, 0.0))
     # cancellation can leave a ~eps residual on the diagonal, which the sqrt
     # amplifies; the true self-distance is exactly 0

@@ -50,7 +50,6 @@ def _merge_topk(vals, idxs, new_vals, new_idxs, k):
     return v, i
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "metric", "pvary_axis"))
 def tiled_topk(
     queries: jnp.ndarray,
     gallery: jnp.ndarray,
@@ -59,6 +58,7 @@ def tiled_topk(
     metric: str = "cosine",
     valid_count=None,
     pvary_axis=None,
+    precision=None,
 ):
     """Exact top-k over the gallery.
 
@@ -67,7 +67,33 @@ def tiled_topk(
     padded rows never appear because their score is -inf. ``valid_count``
     (traced scalar, default gallery length) marks trailing rows as padding —
     used by the sharded index whose last shard may be partially filled.
+    ``precision`` (default: the XMIR_TOPK_PRECISION env, see
+    ops.distance.resolve_precision) controls the score-matmul MXU precision;
+    resolved HERE so the jit cache keys on the resolved value rather than
+    baking in a stale env read.
     """
+    from .distance import resolve_precision
+
+    return _tiled_topk(
+        queries, gallery, k, tile, metric, valid_count, pvary_axis,
+        resolve_precision(precision),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile", "metric", "pvary_axis", "precision"),
+)
+def _tiled_topk(
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    k: int,
+    tile: int = 2048,
+    metric: str = "cosine",
+    valid_count=None,
+    pvary_axis=None,
+    precision=None,
+):
     n_real = gallery.shape[0]
     if k > n_real:
         raise ValueError(f"k={k} > gallery size {n_real}")
@@ -94,7 +120,7 @@ def tiled_topk(
         vals, idxs = carry
         g_tile, t_idx = inp
         base = t_idx * tile
-        s = score_fn(q, g_tile, metric)
+        s = score_fn(q, g_tile, metric, precision=precision)
         gidx = base + col
         s = jnp.where(gidx < n_real, s, NEG_INF)
         vals, idxs = _merge_topk(vals, idxs, s, jnp.broadcast_to(gidx, s.shape), k)
@@ -110,13 +136,13 @@ def _next_multiple(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def full_ranking(queries, gallery, metric: str = "cosine"):
+def full_ranking(queries, gallery, metric: str = "cosine", precision=None):
     """Full gallery ranking (reference query_nih_zilliz.py:53 top_k=0 mode).
 
     Returns (scores (Q, N), ranks (Q, N)) — materializes O(Q*N); use only for
     eval-sized galleries.
     """
-    s = score_fn(queries, gallery, metric)
+    s = score_fn(queries, gallery, metric, precision=precision)
     ranks = jnp.argsort(-s, axis=1, stable=True)
     return s, ranks
 
