@@ -64,3 +64,69 @@ class TestDecodedCache:
         chunks = list(cache.iter_batches(4))
         assert sum(c[0].shape[0] for c in chunks) == 9
         np.testing.assert_array_equal(chunks[0][0][1], cache.load_image(1))
+
+
+class TestWriteThroughCache:
+    """Epoch-1 overlap (VERDICT r4 #7): the cache fills as a side effect of
+    the first pipeline pass and serves from the memmap afterwards."""
+
+    def test_first_pass_fills_and_matches_fresh_decode(self, dataset, tmp_path):
+        from xmir_tpu.data.cache import WriteThroughCache
+        from xmir_tpu.data.pipeline import batch_iterator
+        from xmir_tpu.data.transforms import pil_resize_center_crop
+
+        wt = WriteThroughCache(dataset, str(tmp_path / "c"), 32)
+        assert not wt.complete
+        seen = {}
+        for imgs, labs, idxs in batch_iterator(wt, 4, image_size=32,
+                                               num_workers=2):
+            for j, i in enumerate(np.asarray(idxs)):
+                seen[int(i)] = imgs[j]
+        assert len(seen) == 9 and wt.complete
+        for i in range(9):
+            fresh = pil_resize_center_crop(dataset.load_image(i), 32)
+            np.testing.assert_array_equal(seen[i], fresh)
+            np.testing.assert_array_equal(np.asarray(wt.images[i]), fresh)
+        # completion stamped the artifact: DecodedCache can load it
+        from xmir_tpu.data.cache import DecodedCache
+
+        cache = DecodedCache(str(tmp_path / "c"))
+        np.testing.assert_array_equal(
+            cache.load_image(5), pil_resize_center_crop(dataset.load_image(5), 32)
+        )
+
+    def test_second_pass_serves_without_decoding(self, dataset, tmp_path):
+        from xmir_tpu.data.cache import WriteThroughCache
+
+        wt = WriteThroughCache(dataset, str(tmp_path / "c"), 32)
+        wt.finalize()
+        assert wt.complete
+        # sabotage the raw dataset: any further decode would now raise
+        dataset.images = [None] * 9
+        batch = wt.load_batch_cropped([0, 3, 8], 32)
+        assert batch.shape == (3, 32, 32, 3)
+
+    def test_reopen_completed_cache(self, dataset, tmp_path):
+        from xmir_tpu.data.cache import WriteThroughCache
+
+        WriteThroughCache(dataset, str(tmp_path / "c"), 32).finalize()
+        wt2 = WriteThroughCache(dataset, str(tmp_path / "c"), 32)
+        assert wt2.complete  # meta.json -> everything marked done
+
+    def test_partial_coverage_then_finalize(self, dataset, tmp_path):
+        from xmir_tpu.data.cache import WriteThroughCache
+
+        wt = WriteThroughCache(dataset, str(tmp_path / "c"), 32)
+        wt.load_batch_cropped([0, 1, 2], 32)
+        assert not wt.complete
+        wt.finalize()
+        assert wt.complete
+
+    def test_size_guard_and_label_passthrough(self, dataset, tmp_path):
+        from xmir_tpu.data.cache import WriteThroughCache
+
+        wt = WriteThroughCache(dataset, str(tmp_path / "c"), 32)
+        with pytest.raises(ValueError):
+            wt.load_batch_cropped([0], 48)
+        assert list(wt.labels) == list(range(9))
+        assert len(wt) == 9

@@ -56,6 +56,12 @@ def parse_args(argv=None):
                         "param/Adam memory scales 1/n_devices)")
     p.add_argument("--metrics-log", default="",
                    help="Append per-step/eval metrics as JSONL (observability)")
+    p.add_argument("--cache-dir", default="",
+                   help="Write-through decoded-image cache: epoch 1 decodes "
+                        "at pipeline speed while filling the memmap as a "
+                        "side effect; epochs 2+ serve at memcpy speed "
+                        "(data/cache.py WriteThroughCache; the reference "
+                        "re-decodes every epoch)")
     p.add_argument("--bf16", action="store_true", help="bf16 mixed precision (AMP equivalent: f32 master params, bf16 compute)")
     p.add_argument("--accum-steps", default=1, type=int,
                    help="Gradient accumulation: update params every N batches")
@@ -105,6 +111,18 @@ def main(argv=None):
     model, spec, variables = build_model(args, train=True)
     loss_name = select_loss(args)
     print(f">> model={args.model} loss={loss_name} dataset={args.dataset}")
+
+    if args.cache_dir:
+        from ..data.cache import WriteThroughCache
+
+        train_ds = WriteThroughCache(
+            train_ds, args.cache_dir, spec.resize_size,
+            interpolation=getattr(spec, "interpolation", "bilinear"),
+        )
+        state_txt = "complete (memcpy-serve)" if train_ds.complete else (
+            "filling (write-through during epoch 1)"
+        )
+        print(f">> decoded-image cache at {args.cache_dir}: {state_txt}")
 
     from ..data import PKSampler, batch_iterator, preprocess_for_spec
     from ..train import (

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Iterator, Optional
 
 import numpy as np
@@ -60,6 +61,151 @@ def build_decoded_cache(
             {"size": image_size, "n": n, "interpolation": interpolation}, f
         )
     return cache_dir
+
+
+class WriteThroughCache:
+    """Decode-on-first-use cache: epoch 1 runs at PIPELINE speed while the
+    memmap fills as a side effect; epochs 2+ serve at memcpy speed.
+
+    build_decoded_cache runs decode-then-train serially — the first epoch
+    pays the full decode wall-time twice (once to build, once implicitly in
+    page-cache misses). This wrapper instead presents the dataset duck-type
+    batch_iterator expects (load_batch_cropped / load_image / labels) and
+    writes every freshly-decoded batch back into the memmap from the decode
+    worker threads, so cache building is fully overlapped with training
+    (VERDICT r4 #7; the reference re-decodes every epoch, train.py:520-542).
+
+    The artifact becomes a valid DecodedCache directory (meta.json written)
+    the moment every index has been decoded once — by the samplers' natural
+    coverage or by `finalize()`, which decodes any leftovers. A process that
+    dies mid-build leaves images.npy without meta.json; the next run simply
+    re-decodes on demand into the same file (writes are idempotent).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        cache_dir: str,
+        image_size: int,
+        *,
+        interpolation: str = "bilinear",
+    ):
+        os.makedirs(cache_dir, exist_ok=True)
+        self.dataset = dataset
+        self.cache_dir = cache_dir
+        self.size = int(image_size)
+        self.interpolation = interpolation
+        n = len(dataset)
+        meta_path = os.path.join(cache_dir, "meta.json")
+        img_path = os.path.join(cache_dir, "images.npy")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta["size"] != self.size or meta["n"] != n:
+                raise ValueError(
+                    f"existing cache is ({meta['n']}, {meta['size']}px), "
+                    f"dataset needs ({n}, {self.size}px)"
+                )
+            self.images = np.load(img_path, mmap_mode="r+")
+            self._done = np.ones(n, bool)
+        else:
+            self.images = np.lib.format.open_memmap(
+                img_path, mode="w+", dtype=np.uint8,
+                shape=(n, self.size, self.size, 3),
+            )
+            self._done = np.zeros(n, bool)
+        self._n_done = int(self._done.sum())
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------- dataset duck-type
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    @property
+    def labels(self):
+        return self.dataset.labels
+
+    @property
+    def image_names(self):
+        return getattr(self.dataset, "image_names", None)
+
+    def load_image(self, index: int) -> np.ndarray:
+        """Raw-image passthrough (callers needing original resolution)."""
+        return self.dataset.load_image(index)
+
+    def _decode_one(self, i: int) -> np.ndarray:
+        from .transforms import pil_resize_center_crop
+
+        arr = self.dataset.load_image(i)
+        if arr.shape[:2] != (self.size, self.size):
+            arr = pil_resize_center_crop(arr, self.size, self.interpolation)
+        return arr
+
+    def load_batch_cropped(self, indices, size: int, n_threads: int = 0):
+        """The batch_iterator fast path: serve decoded rows from the memmap,
+        decode+write-back the rest. Same decode semantics as the pipeline's
+        per-item path (aspect-preserving resize + center crop)."""
+        if size != self.size:
+            raise ValueError(
+                f"cache built at {self.size}px, requested {size}px"
+            )
+        idx = np.asarray(list(indices))
+        out = np.empty((len(idx), self.size, self.size, 3), np.uint8)
+        done = self._done[idx]
+        if done.any():
+            out[done] = self.images[idx[done]]
+        missing = idx[~done]
+        if missing.size:
+            if hasattr(self.dataset, "load_batch_cropped"):
+                try:
+                    fresh = self.dataset.load_batch_cropped(
+                        list(missing), self.size
+                    )
+                except ValueError:
+                    fresh = np.stack([self._decode_one(i) for i in missing])
+            else:
+                fresh = np.stack([self._decode_one(i) for i in missing])
+            out[~done] = fresh
+            self.images[missing] = fresh  # write-back (idempotent per index)
+            with self._lock:
+                newly = missing[~self._done[missing]]
+                self._done[newly] = True
+                self._n_done += len(newly)
+                if self._n_done == len(self):
+                    self._finalize_locked()
+        return out
+
+    def finalize(self):
+        """Decode every not-yet-seen index and stamp the completed artifact."""
+        missing = np.nonzero(~self._done)[0]
+        for i in range(0, len(missing), 64):
+            self.load_batch_cropped(missing[i : i + 64], self.size)
+        with self._lock:
+            if self._n_done == len(self) and not os.path.exists(
+                os.path.join(self.cache_dir, "meta.json")
+            ):
+                self._finalize_locked()
+        return self.cache_dir
+
+    def _finalize_locked(self):
+        self.images.flush()
+        np.save(
+            os.path.join(self.cache_dir, "labels.npy"),
+            np.asarray(self.dataset.labels),
+        )
+        with open(os.path.join(self.cache_dir, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "size": self.size,
+                    "n": len(self),
+                    "interpolation": self.interpolation,
+                },
+                f,
+            )
+
+    @property
+    def complete(self) -> bool:
+        return self._n_done == len(self)
 
 
 class DecodedCache:
