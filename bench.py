@@ -107,26 +107,16 @@ def bench_search(on_tpu: bool):
 
 
 def bench_search_sharded():
-    """Headline search through the DEPLOYMENT shape: the fused Pallas top-K
-    kernel composed under shard_map over the mesh data axis, including the
-    cross-shard candidate merge (all_gather of (Q, k) candidates + the same
-    index-ordered top-k the product merge runs, index/gallery.py:
-    _search_sharded) — measured against the index's build()-aligned gallery
+    """Headline search through the DEPLOYMENT shape — the PRODUCT code path:
+    index/gallery.py::make_sharded_search_step (per-shard fused Pallas top-K
+    under shard_map + merge_shard_candidates), the very function
+    ShardedGalleryIndex._search_sharded jits and serves — wrapped in the
+    on-device timing loop against the index's build()-aligned gallery
     placement (128-aligned shards -> the kernel's zero-copy fast path).
-
-    The timing loop lives INSIDE the shard_map region: nesting shard_map
-    inside lax.fori_loop instead costs a per-iteration full-to-shard copy of
-    the gallery (~15%) that real serving never pays — at dispatch
-    granularity the gallery is a committed sharded array and jit's reshard
-    of an identically-sharded input is a no-op. Compared to the meshless
-    headline, the delta is the true cost of shard_map composition + merge
-    (measured ~0, see BENCHMARKS.md)."""
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
+    Benchmarked code == served code by construction (VERDICT r4 #4; the old
+    bench re-implemented the search inline and could drift)."""
     from xmir_tpu.index import ShardedGalleryIndex
-    from xmir_tpu.index.gallery import _pick_tile_g
-    from xmir_tpu.ops.topk_pallas import fused_topk_masked
+    from xmir_tpu.index.gallery import _pick_tile_g, make_sharded_search_step
     from xmir_tpu.parallel import make_mesh
     from xmir_tpu.parallel.mesh import DATA_AXIS
 
@@ -140,55 +130,64 @@ def bench_search_sharded():
     idx.build(mesh)
     n_dev = mesh.shape[DATA_AXIS]
     shard_rows = idx._device_embeds.shape[0] // n_dev
-    tile_g = _pick_tile_g(shard_rows)
+    step = make_sharded_search_step(
+        mesh, K, shard_rows, GALLERY_N, "pallas", "ip", jnp.float32,
+        _pick_tile_g(shard_rows),
+    )
     queries = jnp.asarray(np.asarray(idx._device_embeds)[:QUERY_BATCH])
 
     def make_loop(iters):
         # gallery enters as an explicit jit argument (not a closure constant:
         # the axon remote-compile tunnel serializes closed-over constants
         # into the compile payload and 413s on a 400MB gallery)
-        def local(q, g_shard):
-            shard_id = jax.lax.axis_index(DATA_AXIS)
-            base = shard_id * shard_rows
-            valid = jnp.clip(GALLERY_N - base, 0, shard_rows)
-            qv = jax.lax.pcast(q, (DATA_AXIS,), to="varying")
-            zero = jax.lax.pcast(
-                jnp.float32(0), (DATA_AXIS,), to="varying"
-            )
-
+        def run(q, g):
             def body(_, carry):
                 acc, bump = carry
-                vals, idxs = fused_topk_masked(
-                    qv + bump, g_shard, K, valid, "ip",
-                    tile_q=512, tile_g=tile_g, out_vma=(DATA_AXIS,),
-                )
-                idxs = idxs + base
-                # cross-shard merge, in-region: n_dev*k candidates per query
-                av = jax.lax.all_gather(vals, DATA_AXIS)  # (n_dev, Q, k)
-                ai = jax.lax.all_gather(idxs, DATA_AXIS)
-                av = av.transpose(1, 0, 2).reshape(-1, n_dev * K)
-                ai = ai.transpose(1, 0, 2).reshape(-1, n_dev * K)
-                order = jnp.argsort(ai, axis=1, stable=True)
-                av = jnp.take_along_axis(av, order, axis=1)
-                ai = jnp.take_along_axis(ai, order, axis=1)
-                v, pos = jax.lax.top_k(av, K)
-                i = jnp.take_along_axis(ai, pos, axis=1)
+                v, i = step(q + bump, g)
                 s = jnp.sum(v) + jnp.sum(i).astype(jnp.float32)
                 return acc + s, s * 0e-30
 
-            acc, _ = jax.lax.fori_loop(0, iters, body, (zero, zero))
-            return jax.lax.psum(acc, DATA_AXIS)
-
-        def run(q, g):
-            return shard_map(
-                local, mesh=mesh,
-                in_specs=(P(), P(DATA_AXIS, None)), out_specs=P(),
-            )(q, g)
+            acc, _ = jax.lax.fori_loop(0, iters, body, (0.0, 0.0))
+            return acc
 
         return run
 
     dt = _loop_time(make_loop, queries, idx._device_embeds, n1=10, n2=50)
     return QUERY_BATCH / dt
+
+
+def bench_merge_8shard(n_dev: int = 8):
+    """Cross-shard merge cost at DEPLOYMENT width (VERDICT r4 #4): run the
+    product merge (index/gallery.py::merge_shard_candidates) on synthetic
+    8-shard candidate blocks — the exact (n_dev, Q, k) tensor an 8-chip mesh
+    all-gathers — on this one chip. Returns merge seconds per search call.
+    The ICI transfer it replaces is n_dev*Q*k*(4+4) bytes (640 KB at
+    Q=1024, k=10) — sub-10us at v5e ICI bandwidth, so the on-chip merge
+    compute measured here IS the merge cost bound."""
+    from xmir_tpu.index.gallery import merge_shard_candidates
+
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(
+        rng.standard_normal((n_dev, QUERY_BATCH, K)).astype(np.float32)
+    )
+    idxs = jnp.asarray(
+        rng.integers(0, GALLERY_N, (n_dev, QUERY_BATCH, K)).astype(np.int32)
+    )
+
+    def make_loop(iters):
+        def run(v, i):
+            def body(_, carry):
+                acc, bump = carry
+                mv, mi = merge_shard_candidates(v + bump, i, n_dev, K)
+                s = jnp.sum(mv) + jnp.sum(mi).astype(jnp.float32)
+                return acc + s, s * 0e-30
+
+            acc, _ = jax.lax.fori_loop(0, iters, body, (0.0, 0.0))
+            return acc
+
+        return run
+
+    return _loop_time(make_loop, vals, idxs, n1=20, n2=100)
 
 
 def _densenet_bf16(batch: int):
@@ -456,9 +455,20 @@ def main():
     except Exception:
         qps_bf16 = None
     try:
-        qps_sharded = bench_search_sharded() if on_tpu else None
+        # median-of-N like the headline: the sharded-vs-meshless delta is
+        # only interpretable with the spread (VERDICT r4 #4)
+        sharded_samples = (
+            [bench_search_sharded() for _ in range(max(1, n_samples))]
+            if on_tpu else []
+        )
+        qps_sharded = float(np.median(sharded_samples)) if sharded_samples else None
     except Exception:
+        sharded_samples = []
         qps_sharded = None
+    try:
+        merge_s = bench_merge_8shard() if on_tpu else None
+    except Exception:
+        merge_s = None
     try:
         ips = bench_embed()
     except Exception:
@@ -509,6 +519,16 @@ def main():
             },
             "qps_sharded_1dev_mesh_pallas": (
                 None if qps_sharded is None else round(qps_sharded, 1)
+            ),
+            "qps_sharded_spread": (
+                None if not sharded_samples else {
+                    "min": round(float(np.min(sharded_samples)), 1),
+                    "max": round(float(np.max(sharded_samples)), 1),
+                    "n": len(sharded_samples),
+                }
+            ),
+            "merge_8shard_ms_per_call": (
+                None if merge_s is None else round(merge_s * 1e3, 3)
             ),
             "qps_bf16_serving_mode": None if qps_bf16 is None else round(qps_bf16, 1),
             "embed_images_per_sec_densenet121_bf16": None if ips is None else round(ips, 1),

@@ -75,6 +75,112 @@ def _kernel_mode() -> str:
     return "pallas" if _use_pallas() else "xla"
 
 
+def make_local_shard_search(
+    mode: str, k: int, shard_rows: int, n_real: int, metric: str,
+    compute_dtype, tile_g: int,
+):
+    """Per-shard local top-k body run under shard_map — shared VERBATIM by
+    ShardedGalleryIndex._search_sharded (the served path) and bench.py's
+    sharded-search benchmark, so the benchmarked code cannot drift from the
+    served code. q: (Q, D) replicated, g_shard: (shard_rows, D) — returns
+    (vals (Q, k), global idxs (Q, k)) for this shard."""
+
+    def local_search(q, g_shard):
+        shard_id = jax.lax.axis_index(DATA_AXIS)
+        base = shard_id * shard_rows
+        valid = jnp.clip(n_real - base, 0, shard_rows)
+        kk = min(k, shard_rows)
+        if mode != "xla":
+            # queries enter replicated (P() in_spec) while the gallery
+            # shard is device-varying; mark them varying so the kernel's
+            # mixed inputs type-check under shard_map's vma tracking
+            qv = jax.lax.pcast(q, (DATA_AXIS,), to="varying")
+            vals, idxs = fused_topk_masked(
+                qv, g_shard, kk, valid, metric,
+                tile_q=512, tile_g=tile_g,
+                compute_dtype=compute_dtype,
+                interpret=(mode == "interpret"),
+                out_vma=(DATA_AXIS,),
+            )
+        else:
+            vals, idxs = tiled_topk(
+                q, g_shard, kk, metric=metric, valid_count=valid,
+                pvary_axis=DATA_AXIS,
+            )
+        if kk < k:  # pad so every shard returns k candidates
+            pad = k - kk
+            vals = jnp.concatenate(
+                [vals, jnp.full((vals.shape[0], pad), -jnp.inf)], axis=1
+            )
+            idxs = jnp.concatenate(
+                [idxs, jnp.zeros((idxs.shape[0], pad), jnp.int32)], axis=1
+            )
+        return vals, idxs + base
+
+    return local_search
+
+
+def merge_shard_candidates(vals, idxs, n_dev: int, k: int):
+    """Cross-shard candidate merge: (n_dev, Q, k) per-shard top-k blocks ->
+    global (Q, k). Candidates are ordered by gallery index first so equal
+    scores break to the lower index (the reference's stable-argsort tie
+    semantics, test.py:1081), then one top-k. Shared by the served path and
+    the benchmark."""
+    q = vals.shape[1]
+    vals = vals.transpose(1, 0, 2).reshape(q, n_dev * k)
+    idxs = idxs.transpose(1, 0, 2).reshape(q, n_dev * k)
+    order = jnp.argsort(idxs, axis=1, stable=True)
+    vals = jnp.take_along_axis(vals, order, axis=1)
+    idxs = jnp.take_along_axis(idxs, order, axis=1)
+    v, pos = jax.lax.top_k(vals, k)
+    i = jnp.take_along_axis(idxs, pos, axis=1)
+    return v, i
+
+
+def make_sharded_search_step(
+    mesh, k: int, shard_rows: int, n_real: int, mode: str, metric: str,
+    compute_dtype, tile_g: int,
+):
+    """The full sharded search step (per-shard fused top-k under shard_map +
+    cross-shard merge) as ONE pure function of (queries, embeds) — the exact
+    served computation, unjitted so bench.py can wrap it in an on-device
+    timing loop (the axon tunnel defeats host-side block_until_ready)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[DATA_AXIS]
+    local_search = make_local_shard_search(
+        mode, k, shard_rows, n_real, metric, compute_dtype, tile_g
+    )
+    f = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+    )
+
+    def search_fn(queries, embeds):
+        vals, idxs = f(queries, embeds)  # (n_dev*Q, k) stacked
+        q = queries.shape[0]
+        return merge_shard_candidates(
+            vals.reshape(n_dev, q, k), idxs.reshape(n_dev, q, k), n_dev, k
+        )
+
+    return search_fn
+
+
+def build_sharded_search_fn(
+    mesh, k: int, shard_rows: int, n_real: int, mode: str, metric: str,
+    compute_dtype, tile_g: int,
+):
+    """make_sharded_search_step jitted into ONE dispatch. This IS the served
+    path: ShardedGalleryIndex._search_sharded calls it (cached per
+    (k, mode, metric))."""
+    return jax.jit(make_sharded_search_step(
+        mesh, k, shard_rows, n_real, mode, metric, compute_dtype, tile_g
+    ))
+
+
 class ShardedGalleryIndex:
     """In-HBM exact vector index.
 
@@ -96,6 +202,7 @@ class ShardedGalleryIndex:
         self._device_embeds = None
         self._mesh = None
         self._n = 0
+        self._search_fns = {}  # (k, mode, metric) -> jitted sharded search
 
     # ------------------------------------------------------------- ingest
     def add(
@@ -149,6 +256,7 @@ class ShardedGalleryIndex:
             host = np.where(host >= 0, 1.0, -1.0).astype(host.dtype)
         self._n = host.shape[0]
         self._mesh = mesh
+        self._search_fns = {}  # n_real/shard layout baked into cached fns
         if mesh is not None:
             n_data = mesh.shape[DATA_AXIS]
             # 128-align each shard: the fused kernel's padded gallery shape
@@ -223,7 +331,9 @@ class ShardedGalleryIndex:
         return vals, idxs
 
     def _search_sharded(self, queries, k: int, mode: str = "xla", kmetric=None):
-        """Per-shard local top-k via shard_map, then a tiny cross-shard merge.
+        """Per-shard local top-k via shard_map, then a tiny cross-shard merge
+        (make_local_shard_search + merge_shard_candidates, jitted as one
+        dispatch by build_sharded_search_fn and cached per (k, mode, metric)).
 
         No (Q, N) matrix and no full-gallery gather ever materializes; the
         inter-device traffic is exactly n_dev * Q * k (value, index) pairs.
@@ -242,69 +352,22 @@ class ShardedGalleryIndex:
         runs inside the region; direct callers may omit it (build() already
         transformed the gallery, and the per-call re-transform is idempotent).
         """
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
         embeds = self._device_embeds
         mesh = self._mesh
         n_dev = mesh.shape[DATA_AXIS]
         shard_rows = embeds.shape[0] // n_dev
-        n_real = self._n
         # search() dispatches the already-transformed "ip" form for
         # cosine/hamming; direct callers (tests, bench) get the raw metric
         metric = self.metric if kmetric is None else kmetric
-        compute_dtype = self.dtype
-
-        def local_search(q, g_shard):
-            # g_shard: (shard_rows, D); compute local validity from shard id
-            shard_id = jax.lax.axis_index(DATA_AXIS)
-            base = shard_id * shard_rows
-            valid = jnp.clip(n_real - base, 0, shard_rows)
-            kk = min(k, shard_rows)
-            if mode != "xla":
-                # queries enter replicated (P() in_spec) while the gallery
-                # shard is device-varying; mark them varying so the kernel's
-                # mixed inputs type-check under shard_map's vma tracking
-                qv = jax.lax.pcast(q, (DATA_AXIS,), to="varying")
-                vals, idxs = fused_topk_masked(
-                    qv, g_shard, kk, valid, metric,
-                    tile_q=512, tile_g=_pick_tile_g(shard_rows),
-                    compute_dtype=compute_dtype,
-                    interpret=(mode == "interpret"),
-                    out_vma=(DATA_AXIS,),
-                )
-            else:
-                vals, idxs = tiled_topk(
-                    q, g_shard, kk, metric=metric, valid_count=valid,
-                    pvary_axis=DATA_AXIS,
-                )
-            if kk < k:  # pad so every shard returns k candidates
-                pad = k - kk
-                vals = jnp.concatenate(
-                    [vals, jnp.full((vals.shape[0], pad), -jnp.inf)], axis=1
-                )
-                idxs = jnp.concatenate(
-                    [idxs, jnp.zeros((idxs.shape[0], pad), jnp.int32)], axis=1
-                )
-            return vals, idxs + base
-
-        f = shard_map(
-            local_search,
-            mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS, None)),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-        )
-        vals, idxs = f(queries, embeds)  # (n_dev*Q, k) stacked
-        q = queries.shape[0]
-        vals = vals.reshape(n_dev, q, k).transpose(1, 0, 2).reshape(q, n_dev * k)
-        idxs = idxs.reshape(n_dev, q, k).transpose(1, 0, 2).reshape(q, n_dev * k)
-        # order candidates by gallery index for exact tie semantics, then top-k
-        order = jnp.argsort(idxs, axis=1, stable=True)
-        vals = jnp.take_along_axis(vals, order, axis=1)
-        idxs = jnp.take_along_axis(idxs, order, axis=1)
-        v, pos = jax.lax.top_k(vals, k)
-        i = jnp.take_along_axis(idxs, pos, axis=1)
-        return v, i
+        key = (k, mode, metric)
+        fn = self._search_fns.get(key)
+        if fn is None:
+            fn = build_sharded_search_fn(
+                mesh, k, shard_rows, self._n, mode, metric, self.dtype,
+                _pick_tile_g(shard_rows),
+            )
+            self._search_fns[key] = fn
+        return fn(queries, embeds)
 
     def full_ranking(self, queries):
         """(Q, N) scores + ranks — the reference's top_k=0 full-gallery mode
