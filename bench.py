@@ -283,13 +283,19 @@ def bench_sbsm(batch: int = 4):
     return batch / dt
 
 
-def bench_insdel(pairs: int = 8, step: int = 1000):
+def bench_insdel(pairs: int = 5, step: int = 1000):
     """Insertion+deletion causal-metric pair-evals/sec at step=1000 on 224^2
-    images (both curves per pair; blur substrate for insertion, zeros for
-    deletion — the reference's defaults). The reference embeds one image per
-    reveal step per pair serially (evaluation.py:46-138); here every
-    (step x pair) cell is batched through one jitted embed."""
+    images at the reference's top-k=5 (both curves per pair; blur substrate
+    for insertion, zeros for deletion — the reference's defaults). The
+    reference embeds one image per reveal step per pair serially
+    (evaluation.py:46-138); here BOTH curves stack along the pair axis and
+    every (step x pair) cell is batched through one jitted embed with
+    auto-tuned chunking — the exact computation
+    xai.causal.run_causal_metric_pairs_both serves in the evaluate_saliency
+    CLI (r4 profile: the old fixed batch_steps=8 single-mode calls ran
+    batch-64 forwards at 46% of raw embed rate, tools/profile_insdel.py)."""
     from xmir_tpu.xai.causal import (
+        auto_batch_steps,
         blur_substrate,
         causal_scores_batch,
         saliency_rank,
@@ -299,8 +305,10 @@ def bench_insdel(pairs: int = 8, step: int = 1000):
     model, variables, x = _densenet_bf16(pairs)
     rng = np.random.default_rng(1)
     sal = jnp.asarray(rng.random((pairs, 224 * 224)), jnp.float32)
-    ranks = jax.vmap(saliency_rank)(sal)
+    ranks1 = jax.vmap(saliency_rank)(sal)
+    ranks = jnp.concatenate([ranks1, ranks1], axis=0)
     blur = blur_substrate()
+    bs = auto_batch_steps(224 * 224, step, 2 * pairs)
 
     def embed_fn(v, imgs):
         return model.apply(v, imgs, train=False)["embedding"]
@@ -314,13 +322,13 @@ def bench_insdel(pairs: int = 8, step: int = 1000):
             def body(_, carry):
                 acc, bump = carry
                 xi = xx + bump
-                s_del = causal_scores_batch(
-                    embed_fn, v, q_feat, xi, zsub, ranks, step, batch_steps=8
+                starts = jnp.concatenate([xi, bsub + bump], axis=0)
+                finishes = jnp.concatenate([zsub, xi], axis=0)
+                s_both = causal_scores_batch(
+                    embed_fn, v, q_feat, starts, finishes, ranks, step,
+                    batch_steps=bs,
                 )
-                s_ins = causal_scores_batch(
-                    embed_fn, v, q_feat, bsub + bump, xi, ranks, step, batch_steps=8
-                )
-                s = (jnp.sum(s_del) + jnp.sum(s_ins)).astype(jnp.float32)
+                s = jnp.sum(s_both).astype(jnp.float32)
                 return acc + s, (s * 0e-30).astype(xx.dtype)
 
             acc, _ = jax.lax.fori_loop(0, iters, body, (0.0, jnp.bfloat16(0)))
@@ -364,6 +372,60 @@ def bench_host_cached(n_files: int = 2048, size: int = 224):
 
     shutil.rmtree(tmp, ignore_errors=True)
     return n / dt
+
+
+def bench_host_writethrough(n_files: int = 1024, size: int = 224):
+    """Write-through cache overlap (VERDICT r4 #7): epoch-1 throughput with
+    the cache filling as a side effect of the pipeline pass vs epoch-2
+    memcpy-serve, and vs the serial decode-then-train build it replaces
+    (build wall + a full re-read). Returns (epoch1, epoch2, serial_effective)
+    img/s on this host."""
+    import shutil
+    import tempfile
+
+    from xmir_tpu.data.cache import WriteThroughCache, build_decoded_cache
+    from xmir_tpu.data.pipeline import batch_iterator
+
+    class _Synth:
+        def __init__(self, n, seed):
+            self.labels = [0] * n
+            self._n = n
+            self._seed = seed
+
+        def __len__(self):
+            return self._n
+
+        def load_image(self, i):
+            rng = np.random.default_rng(self._seed + i)
+            return (rng.random((size, size, 3)) * 255).astype(np.uint8)
+
+    def one_pass(ds):
+        t0 = time.perf_counter()
+        n = sum(
+            b[0].shape[0]
+            for b in batch_iterator(ds, 64, image_size=size, num_workers=8)
+        )
+        return n / (time.perf_counter() - t0)
+
+    tmp = tempfile.mkdtemp(prefix="xmir_bench_wt_")
+    try:
+        wt = WriteThroughCache(_Synth(n_files, 7), os.path.join(tmp, "wt"), size)
+        epoch1 = one_pass(wt)  # decode + write-back overlapped
+        epoch2 = one_pass(wt)  # memcpy-serve
+        # the serial alternative: build_decoded_cache wall time, after which
+        # epoch 1 still has to read everything back
+        t0 = time.perf_counter()
+        d = build_decoded_cache(
+            _Synth(n_files, 7), os.path.join(tmp, "serial"), size, num_workers=8
+        )
+        build_s = time.perf_counter() - t0
+        from xmir_tpu.data.cache import DecodedCache
+
+        serve = one_pass(DecodedCache(d))
+        serial_effective = n_files / (build_s + n_files / serve)
+        return epoch1, epoch2, serial_effective
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_host_pipeline(n_files: int = 768, size: int = 256, out: int = 224):
@@ -491,6 +553,10 @@ def main():
         host_cached_ips = bench_host_cached()
     except Exception:
         host_cached_ips = None
+    try:
+        wt_e1, wt_e2, wt_serial = bench_host_writethrough()
+    except Exception:
+        wt_e1 = wt_e2 = wt_serial = None
     # per-tower embed extras (VERDICT r2 ask); skippable / extendable via
     # XMIR_BENCH_TOWERS="dinov2,swinv2,..." or "" to disable
     towers = {}
@@ -541,6 +607,15 @@ def main():
             ),
             "host_pipeline_cached_img_per_sec": (
                 None if host_cached_ips is None else round(host_cached_ips, 1)
+            ),
+            "host_writethrough_epoch1_img_per_sec": (
+                None if wt_e1 is None else round(wt_e1, 1)
+            ),
+            "host_writethrough_epoch2_img_per_sec": (
+                None if wt_e2 is None else round(wt_e2, 1)
+            ),
+            "host_serial_build_then_serve_img_per_sec": (
+                None if wt_serial is None else round(wt_serial, 1)
             ),
             # the host pipeline saturates its cores (native C++ decode
             # threads); on this 1-CPU bench host the number is core-bound

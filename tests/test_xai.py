@@ -587,3 +587,74 @@ class TestMeshXAI:
         for (a0, z0), (a1, z1) in zip(ref, got):
             assert a1 == pytest.approx(a0, abs=1e-6)
             assert z0 == z1
+
+
+class TestCausalBoth:
+    """Combined del+ins batching (VERDICT r4 #3): one 2P-pair computation
+    must reproduce two single-mode runs exactly, and the auto-tuned
+    batch_steps must cover all steps with bounded padding."""
+
+    def test_both_matches_two_single_mode_runs(self):
+        from xmir_tpu.xai import (
+            run_causal_metric_pairs,
+            run_causal_metric_pairs_both,
+        )
+        from xmir_tpu.xai.variants import gaussian_blur_normed  # noqa: F401
+
+        rng = np.random.default_rng(5)
+        q = jnp.asarray(rng.random((8, 8, 3)), jnp.float32)
+        r_imgs = jnp.asarray(rng.random((3, 8, 8, 3)), jnp.float32)
+        sals = [rng.random((8, 8)).astype(np.float32) for _ in range(3)]
+
+        def blurish(imgs):  # any substrate; zeros vs non-zeros both covered
+            return imgs * 0.25
+
+        d_ref = run_causal_metric_pairs(
+            toy_embed_fn, {}, q, r_imgs, sals, "del", zeros_substrate, step=16
+        )
+        i_ref = run_causal_metric_pairs(
+            toy_embed_fn, {}, q, r_imgs, sals, "ins", blurish, step=16
+        )
+        d_got, i_got = run_causal_metric_pairs_both(
+            toy_embed_fn, {}, q, r_imgs, sals, zeros_substrate, blurish, step=16
+        )
+        for ref, got in ((d_ref, d_got), (i_ref, i_got)):
+            assert len(ref) == len(got) == 3
+            for (a0, z0), (a1, z1) in zip(ref, got):
+                assert a1 == pytest.approx(a0, abs=1e-6)
+                assert z0 == z1
+
+    def test_both_on_mesh_matches(self):
+        from xmir_tpu.parallel import make_mesh
+        from xmir_tpu.xai import run_causal_metric_pairs_both
+
+        rng = np.random.default_rng(6)
+        q = jnp.asarray(rng.random((8, 8, 3)), jnp.float32)
+        r_imgs = jnp.asarray(rng.random((3, 8, 8, 3)), jnp.float32)
+        sals = [rng.random((8, 8)).astype(np.float32) for _ in range(3)]
+        ref = run_causal_metric_pairs_both(
+            toy_embed_fn, {}, q, r_imgs, sals, zeros_substrate,
+            zeros_substrate, step=16,
+        )
+        got = run_causal_metric_pairs_both(
+            toy_embed_fn, {}, q, r_imgs, sals, zeros_substrate,
+            zeros_substrate, step=16,
+            mesh=make_mesh((8,), axis_names=("data",)),
+        )
+        for r_list, g_list in zip(ref, got):
+            for (a0, z0), (a1, z1) in zip(r_list, g_list):
+                assert a1 == pytest.approx(a0, abs=1e-6)
+                assert z0 == z1
+
+    def test_auto_batch_steps_covers_all_steps(self):
+        from xmir_tpu.xai import auto_batch_steps
+
+        for hw, step, p in [(224 * 224, 1000, 5), (224 * 224, 1000, 10),
+                            (224 * 224, 224, 8), (64, 16, 3), (48 * 48, 6272, 4)]:
+            n_slots = -(-hw // step) + 1
+            bs = auto_batch_steps(hw, step, p)
+            assert bs >= 1
+            k = -(-n_slots // bs)
+            assert k * bs >= n_slots            # covers every step
+            assert k * bs - n_slots < bs        # waste < one chunk
+            assert bs * p <= max(256, n_slots)  # bounded forward batch

@@ -69,7 +69,7 @@ def main(argv=None):
     from ..xai import (
         blur_substrate,
         generate_masks,
-        run_causal_metric_pairs,
+        run_causal_metric_pairs_both,
         sbsm_pair_saliency,
         sbsm_pair_saliency_mesh,
         zeros_substrate,
@@ -186,15 +186,12 @@ def main(argv=None):
         else:
             sals = pair_saliency(q_img, r_imgs)
 
-        # batched across the top-k pairs (one forward embeds all pairs'
-        # images for a chunk of steps)
-        del_res = run_causal_metric_pairs(
-            embed, variables, q_img[0], r_imgs, sals, "del",
-            zeros_substrate, step=args.step, mesh=mesh,
-        )
-        ins_res = run_causal_metric_pairs(
-            embed, variables, q_img[0], r_imgs, sals, "ins",
-            blur, step=args.step, mesh=mesh,
+        # deletion + insertion batched TOGETHER across the top-k pairs: one
+        # forward embeds a throughput-tuned chunk of both curves' reveal
+        # images (2 x top_k pairs; auto_batch_steps sizes the chunks)
+        del_res, ins_res = run_causal_metric_pairs_both(
+            embed, variables, q_img[0], r_imgs, sals,
+            zeros_substrate, blur, step=args.step, mesh=mesh,
         )
         del_aucs = [a for a, _ in del_res]
         ins_aucs = [a for a, _ in ins_res]
@@ -241,6 +238,14 @@ def main(argv=None):
     _save(args.output, results, summary={
         "mean_deletion_auc": mean_del, "mean_insertion_auc": mean_ins,
         "n_queries": len(results), "per_class": per_class_avg,
+        # deployment-shape evidence: which retrieval path served the top-k
+        # and whether the XAI fan-out ran on a mesh (replayed by
+        # tests/test_demo_artifact.py for the committed chip artifact)
+        "use_mesh": mesh is not None,
+        "mesh_devices": None if mesh is None else int(
+            np.prod(list(mesh.shape.values()))
+        ),
+        "index": idx.info(),
     })
 
 

@@ -32,9 +32,11 @@ from .variants import (
     transform_query,
 )
 from .causal import (
+    auto_batch_steps,
     causal_scores_batch,
     causal_scores_batch_mesh,
     run_causal_metric_pairs,
+    run_causal_metric_pairs_both,
 )
 from .gradcam_sim import make_vit_gradcam_fn, vit_gradcam_similarity
 from .conceptxai import (

@@ -121,6 +121,21 @@ def run_causal_metric(
     return _auc_np(clipped), zero_cntr, clipped
 
 
+def auto_batch_steps(hw: int, step: int, p_n: int, target: int = 208) -> int:
+    """Pick batch_steps so each forward embeds ~`target` images with minimal
+    step padding. The r4 chip profile (tools/profile_insdel.py): the embed
+    tower saturates at batch 128-256 (6.7k img/s) while batch 64 runs 4.9k,
+    and the reveal-step reconstruction is free (206k pairs/s) — so pair-eval
+    throughput is set by (forward batch size, padded step slots). Choosing
+    the chunk count first keeps waste < one chunk: e.g. 52 steps x 8 pairs,
+    target 208 -> 2 chunks of 26 -> batch 208 with 0 padded slots (the old
+    fixed bs=8 ran batch-64 forwards at 46% of raw embed rate)."""
+    n_slots = hw // step + (1 if hw % step else 0) + 1  # n_steps + 1
+    per_chunk = max(1, target // max(p_n, 1))
+    k_chunks = max(1, -(-n_slots // per_chunk))
+    return -(-n_slots // k_chunks)
+
+
 @functools.partial(jax.jit, static_argnames=("embed_fn", "step", "batch_steps"))
 def causal_scores_batch(
     embed_fn,
@@ -222,13 +237,14 @@ def run_causal_metric_pairs(
     mode: Literal["del", "ins"],
     substrate_fn: Callable,
     step: int = 224,
-    batch_steps: int = 8,
+    batch_steps: int = 0,
     mesh=None,
 ):
     """Batched multi-pair run for one query. retrieved_images (P, H, W, C),
     explanations (P, H, W). Returns lists of (auc, zero_count) per pair.
     With ``mesh``, pairs fan out over the mesh data axis
-    (causal_scores_batch_mesh)."""
+    (causal_scores_batch_mesh). batch_steps=0 picks the throughput-tuned
+    chunking (auto_batch_steps)."""
     q_feat = embed_fn(variables, query_image[None])[0]
     subs = substrate_fn(retrieved_images)
     if mode == "del":
@@ -238,24 +254,77 @@ def run_causal_metric_pairs(
     else:
         raise ValueError("mode must be 'del' or 'ins'")
     ranks = jnp.stack([saliency_rank(jnp.asarray(e)) for e in explanations])
-    if mesh is not None:
-        scores = np.asarray(
-            causal_scores_batch_mesh(
-                embed_fn, variables, q_feat, starts, finishes, ranks, step,
-                mesh, batch_steps,
-            )
-        )
-    else:
-        scores = np.asarray(
-            causal_scores_batch(
-                embed_fn, variables, q_feat, starts, finishes, ranks, step, batch_steps
-            )
-        )
+    scores = _scores_dispatch(
+        embed_fn, variables, q_feat, starts, finishes, ranks, step,
+        batch_steps, mesh,
+    )
     out = []
     for p in range(scores.shape[0]):
         clipped = np.clip(scores[p], 0.0, 1.0)
         out.append((_auc_np(clipped), int((scores[p] < 0).sum())))
     return out
+
+
+def _scores_dispatch(embed_fn, variables, q_feat, starts, finishes, ranks,
+                     step, batch_steps, mesh):
+    if not batch_steps:
+        h, w = starts.shape[1:3]
+        p_eff = starts.shape[0] if mesh is None else -(
+            -starts.shape[0] // mesh.shape["data"]
+        )
+        batch_steps = auto_batch_steps(h * w, step, p_eff)
+    if mesh is not None:
+        return np.asarray(
+            causal_scores_batch_mesh(
+                embed_fn, variables, q_feat, starts, finishes, ranks, step,
+                mesh, batch_steps,
+            )
+        )
+    return np.asarray(
+        causal_scores_batch(
+            embed_fn, variables, q_feat, starts, finishes, ranks, step,
+            batch_steps,
+        )
+    )
+
+
+def run_causal_metric_pairs_both(
+    embed_fn,
+    variables,
+    query_image: jnp.ndarray,
+    retrieved_images: jnp.ndarray,
+    explanations,
+    del_substrate_fn: Callable,
+    ins_substrate_fn: Callable,
+    step: int = 224,
+    batch_steps: int = 0,
+    mesh=None,
+):
+    """Deletion AND insertion curves for P pairs in ONE batched computation:
+    the two modes stack along the pair axis (2P pairs), so every forward
+    embeds twice the images of a single-mode call — at the reference's
+    top-k=5 the single-mode batch underfills the chip (the r4 bench ran 46%
+    of raw embed rate; see auto_batch_steps). Per-pair results are exactly
+    those of two run_causal_metric_pairs calls (eval-mode towers are
+    batch-element-independent). Returns (del_results, ins_results), each a
+    list of (auc, zero_count)."""
+    p_n = retrieved_images.shape[0]
+    q_feat = embed_fn(variables, query_image[None])[0]
+    del_sub = del_substrate_fn(retrieved_images)
+    ins_sub = ins_substrate_fn(retrieved_images)
+    starts = jnp.concatenate([retrieved_images, ins_sub], axis=0)
+    finishes = jnp.concatenate([del_sub, retrieved_images], axis=0)
+    ranks1 = jnp.stack([saliency_rank(jnp.asarray(e)) for e in explanations])
+    ranks = jnp.concatenate([ranks1, ranks1], axis=0)
+    scores = _scores_dispatch(
+        embed_fn, variables, q_feat, starts, finishes, ranks, step,
+        batch_steps, mesh,
+    )
+    out = []
+    for p in range(scores.shape[0]):
+        clipped = np.clip(scores[p], 0.0, 1.0)
+        out.append((_auc_np(clipped), int((scores[p] < 0).sum())))
+    return out[:p_n], out[p_n:]
 
 
 def zeros_substrate(images):
