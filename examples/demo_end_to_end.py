@@ -19,6 +19,10 @@ def main():
     p.add_argument("--epochs", type=int, default=2,
                    help="CI-of-record chip runs use more epochs so the "
                         "metrics artifact shows a learning curve")
+    p.add_argument("--use-mesh", action="store_true",
+                   help="Run the saliency/ins-del stage through the "
+                        "deployment shape: sharded gallery index + the mesh "
+                        "XAI fan-out (1-device mesh on a single chip)")
     args = p.parse_args()
 
     if args.cpu:
@@ -99,7 +103,7 @@ def main():
         "--resume", ckpt, "--window-size", "48", "--stride", "24",
         "--top-k", "2", "--step", "6272", "--limit", "2",
         "--output", f"{args.workdir}/insdel.json",
-    ])
+    ] + (["--use-mesh"] if args.use_mesh else []))
 
     # machine-readable summary for the committed learning-dynamics artifact
     # (tests/test_demo_artifact.py replays it)
@@ -117,6 +121,7 @@ def main():
         "platform": jax.devices()[0].platform,
         "time": time.time(),
         "epochs": args.epochs,
+        "use_mesh": args.use_mesh,
         "eval_mAP_by_epoch": [e["mAP"] for e in evals],
         "top1_label_accuracy_pct": 100 * correct / len(hits),
         "n_queries": len(hits),
