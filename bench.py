@@ -283,17 +283,19 @@ def bench_sbsm(batch: int = 4):
     return batch / dt
 
 
-def bench_insdel(pairs: int = 5, step: int = 1000):
+def bench_insdel(pairs: int = 8, step: int = 1000):
     """Insertion+deletion causal-metric pair-evals/sec at step=1000 on 224^2
-    images at the reference's top-k=5 (both curves per pair; blur substrate
-    for insertion, zeros for deletion — the reference's defaults). The
-    reference embeds one image per reveal step per pair serially
-    (evaluation.py:46-138); here BOTH curves stack along the pair axis and
-    every (step x pair) cell is batched through one jitted embed with
-    auto-tuned chunking — the exact computation
+    images (both curves per pair; blur substrate for insertion, zeros for
+    deletion — the reference's defaults; pairs=8 keeps the round-4 metric
+    definition). The reference embeds one image per reveal step per pair
+    serially (evaluation.py:46-138); here BOTH curves stack along the pair
+    axis and every (step x pair) cell is batched through one jitted embed
+    with auto-tuned chunking — the exact computation
     xai.causal.run_causal_metric_pairs_both serves in the evaluate_saliency
     CLI (r4 profile: the old fixed batch_steps=8 single-mode calls ran
-    batch-64 forwards at 46% of raw embed rate, tools/profile_insdel.py)."""
+    batch-64 forwards at 46% of raw embed rate; the r5 sweep pins batch-128
+    multiple-of-8 forwards as the measured peak, xai/causal.py
+    auto_batch_steps)."""
     from xmir_tpu.xai.causal import (
         auto_batch_steps,
         blur_substrate,

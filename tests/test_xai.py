@@ -657,4 +657,5 @@ class TestCausalBoth:
             k = -(-n_slots // bs)
             assert k * bs >= n_slots            # covers every step
             assert k * bs - n_slots < bs        # waste < one chunk
-            assert bs * p <= max(256, n_slots)  # bounded forward batch
+            # bounded forward batch (max_batch; k=n_slots always admissible)
+            assert bs * p <= max(512, p)

@@ -121,19 +121,29 @@ def run_causal_metric(
     return _auc_np(clipped), zero_cntr, clipped
 
 
-def auto_batch_steps(hw: int, step: int, p_n: int, target: int = 208) -> int:
-    """Pick batch_steps so each forward embeds ~`target` images with minimal
-    step padding. The r4 chip profile (tools/profile_insdel.py): the embed
-    tower saturates at batch 128-256 (6.7k img/s) while batch 64 runs 4.9k,
-    and the reveal-step reconstruction is free (206k pairs/s) — so pair-eval
-    throughput is set by (forward batch size, padded step slots). Choosing
-    the chunk count first keeps waste < one chunk: e.g. 52 steps x 8 pairs,
-    target 208 -> 2 chunks of 26 -> batch 208 with 0 padded slots (the old
-    fixed bs=8 ran batch-64 forwards at 46% of raw embed rate)."""
+def auto_batch_steps(hw: int, step: int, p_n: int, target: int = 128) -> int:
+    """Pick batch_steps so each forward embeds ~128 images at a
+    multiple-of-8 batch. The chip sweep (tools/profile_insdel.py + the r5
+    follow-ups, DenseNet121@224 bf16, 52 reveal slots, both curves stacked):
+
+      batch 128 (p16 x bs8)   59.4 pair-evals/s   <- peak
+      batch 120 (p10 x bs12)  56.3
+      batch 180 (p10 x bs18)  55.6
+      batch 208-520           54.2-56.2           (flat past saturation)
+      batch 130 (p10 x bs13)  34.0                <- non-x8 batch cliff
+      batch  64 (old fixed bs=8 single-mode)      46% of raw embed rate
+
+    The raw embed curve itself is non-monotonic (6,776 img/s @128 vs
+    6,053 @180, 6,285 @208): XLA's conv layouts favor the 128 batch, and a
+    batch that is not a multiple of 8 falls off a ~40% cliff. So: batch as
+    close to `target` as possible, rounded DOWN until divisible by 8
+    (p_n is the stacked pair count — 2 x top-k for the both-curves path)."""
     n_slots = hw // step + (1 if hw % step else 0) + 1  # n_steps + 1
-    per_chunk = max(1, target // max(p_n, 1))
-    k_chunks = max(1, -(-n_slots // per_chunk))
-    return -(-n_slots // k_chunks)
+    p_n = max(p_n, 1)
+    bs = max(1, min(round(target / p_n), n_slots))
+    while bs > 1 and (bs * p_n) % 8:
+        bs -= 1
+    return bs
 
 
 @functools.partial(jax.jit, static_argnames=("embed_fn", "step", "batch_steps"))
