@@ -135,9 +135,13 @@ class TestLnQkv:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=2e-4, atol=2e-4)
 
-    def test_eligibility(self):
+    def test_eligibility(self, monkeypatch):
         assert ln_qkv_eligible(768, 64)
-        assert not ln_qkv_eligible(1152, 72)  # MedSigLIP stays on XLA
+        # SO400M hd=72: measured negative on current libtpu — opt-in only
+        monkeypatch.delenv("XMIR_FUSED_LN_QKV72", raising=False)
+        assert not ln_qkv_eligible(1152, 72)
+        monkeypatch.setenv("XMIR_FUSED_LN_QKV72", "1")
+        assert ln_qkv_eligible(1152, 72)
         assert not ln_qkv_eligible(100, 64)
 
 
@@ -182,3 +186,46 @@ class TestViTBlockFusedBranch:
         got, _ = block.apply(variables, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestSiglipFusedBranch:
+    """Round-5 wiring: SiglipEncoderLayer's fused LN->qkv branch at SO400M's
+    head_dim=72 must reproduce the default branch with the SAME params
+    (interpret-mode kernel, XLA reference attention)."""
+
+    def test_fused_branch_matches_default_hd72(self, rng, monkeypatch):
+        from xmir_tpu.models import siglip as sg
+        from xmir_tpu.ops import ln_dense_pallas as lnp
+        from xmir_tpu.ops import plain_attn
+
+        dim, heads, n, b = 288, 4, 33, 2  # hd = 72
+        layer = sg.SiglipEncoderLayer(dim, heads, intermediate=2 * dim)
+        x = jnp.asarray(rng.standard_normal((b, n, dim)), jnp.float32)
+        variables = layer.init(jax.random.PRNGKey(0), x)
+        ref, _ = layer.apply(variables, x)
+
+        def attn_ref(q, k, v, scale):
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                           preferred_element_type=jnp.float32) * scale
+            p = jax.nn.softmax(s, axis=-1)
+            return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+        monkeypatch.setattr(lnp, "fused_ln_enabled", lambda dtype: True)
+        monkeypatch.setattr(plain_attn, "plain_flash_enabled",
+                            lambda dtype, n: True)
+        monkeypatch.setattr(plain_attn, "flash_attention_plain", attn_ref)
+        real_fused = lnp.ln_qkv_fused
+        monkeypatch.setattr(
+            lnp, "ln_qkv_fused",
+            lambda x, s, bb, w, bias, h: real_fused(
+                x, s, bb, w, bias, h, 1e-6, 32, True
+            ),
+        )
+        got, _ = layer.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_eligibility_so400m_opt_in(self, monkeypatch):
+        monkeypatch.setenv("XMIR_FUSED_LN_QKV72", "1")
+        assert ln_qkv_eligible(1152, 72)
+        assert not ln_qkv_eligible(1150, 72)

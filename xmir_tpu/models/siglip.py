@@ -23,12 +23,13 @@ class SiglipAttention(nn.Module):
     num_heads: int
 
     @nn.compact
-    def __call__(self, x, output_attentions: bool = False):
+    def __call__(self, x, output_attentions: bool = False, ln=None):
         b, n, c = x.shape
         h = self.num_heads
         hd = self.dim // h
 
         from .vit import DenseParams
+        from ..ops.ln_dense_pallas import ln_qkv_fused
         from ..ops.plain_attn import flash_attention_plain, plain_flash_enabled
 
         ws, bs = [], []
@@ -41,6 +42,19 @@ class SiglipAttention(nn.Module):
         # activations keep the XLA path for checkpoint parity, as vit.py)
         dt = jnp.promote_types(x.dtype, ws[0].dtype)
         x = x.astype(dt)
+
+        if ln is not None:
+            # fused pre-LN + packed qkv (models/vit.py ln path, extended to
+            # SO400M's hd=72 in round 5): the three per-head-standard
+            # projection kernels concatenate along the output axis in
+            # q|k|v order — exactly the packed (C, 3C) layout
+            # ops/ln_dense_pallas.py's kernel splits head-major
+            w3 = jnp.concatenate([w.astype(dt) for w in ws], axis=1)
+            b3 = jnp.concatenate(bs)
+            q, k, v = ln_qkv_fused(x, ln[0], ln[1], w3, b3, h)
+            out = flash_attention_plain(q, k, v, hd**-0.5)
+            out = jnp.swapaxes(out, 1, 2).reshape(b, n, self.dim)
+            return nn.Dense(self.dim, name="out_proj")(out), None
 
         if not output_attentions and plain_flash_enabled(dt, n):
             # one batched head-major projection: concatenate the three
@@ -99,10 +113,33 @@ class SiglipEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, output_attentions: bool = False):
-        h = nn.LayerNorm(epsilon=1e-6, name="layer_norm1")(x)
-        h, attn = SiglipAttention(self.dim, self.num_heads, name="self_attn")(
-            h, output_attentions
+        import os
+
+        from ..ops.ln_dense_pallas import fused_ln_enabled, ln_qkv_eligible
+        from ..ops.plain_attn import plain_flash_enabled
+
+        # fused pre-LN + packed qkv (the models/vit.py ViTBlock gate,
+        # extended to SO400M's hd=72 in round 5); param tree identical to
+        # the nn.LayerNorm branch
+        fuse_qkv = (
+            not output_attentions
+            and fused_ln_enabled(x.dtype)
+            and ln_qkv_eligible(self.dim, self.dim // self.num_heads)
+            and plain_flash_enabled(x.dtype, x.shape[1])
+            and os.environ.get("XMIR_FUSED_LN_QKV", "1") != "0"
         )
+        if fuse_qkv:
+            from .vit import LayerNormParams
+
+            ln1 = LayerNormParams(self.dim, name="layer_norm1")()
+            h, attn = SiglipAttention(
+                self.dim, self.num_heads, name="self_attn"
+            )(x, output_attentions, ln=ln1)
+        else:
+            h = nn.LayerNorm(epsilon=1e-6, name="layer_norm1")(x)
+            h, attn = SiglipAttention(
+                self.dim, self.num_heads, name="self_attn"
+            )(h, output_attentions)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, name="layer_norm2")(x)
         h = SiglipMlp(self.dim, self.intermediate, name="mlp")(h)

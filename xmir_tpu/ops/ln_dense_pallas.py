@@ -328,6 +328,15 @@ ln_qkv_fused.defvjp(_ln_qkv_fwd, _ln_qkv_bwd)
 
 def ln_qkv_eligible(c: int, head_dim: int) -> bool:
     """Shapes the qkv kernel's VMEM plan and relayout were validated on:
-    lane-tiled channel width and power-of-two head_dim (DINOv2/ViT family;
-    MedSigLIP's hd=72 keeps the XLA einsum path)."""
+    lane-tiled channel width and head_dim in {32, 64, 128} (DINOv2/ViT
+    family). head_dim=72 (SigLIP SO400M) COMPILES and is chip-correct
+    (maxdiff 1.6e-2 = bf16 rounding, tools/profile_ln_qkv72.py), but the
+    unaligned 72-lane head slices cost more than the saved LN pass — a
+    round-5 MEASURED NEGATIVE: MedSigLIP@448 embed 133.2 img/s fused vs
+    138.4 XLA (-4%); isolated kernel 0.263 ms vs 0.185 ms XLA at
+    B4 N1024 C1152 H16. Kept behind XMIR_FUSED_LN_QKV72=1 for
+    re-measurement on future libtpu (the wiring in models/siglip.py is
+    tested either way)."""
+    if head_dim == 72:
+        return c % 128 == 0 and os.environ.get("XMIR_FUSED_LN_QKV72") == "1"
     return c % 128 == 0 and head_dim in (32, 64, 128)
