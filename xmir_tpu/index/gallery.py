@@ -359,7 +359,12 @@ class ShardedGalleryIndex:
         # search() dispatches the already-transformed "ip" form for
         # cosine/hamming; direct callers (tests, bench) get the raw metric
         metric = self.metric if kmetric is None else kmetric
-        key = (k, mode, metric)
+        from ..ops.distance import resolve_precision
+
+        # precision rides the env (XMIR_TOPK_PRECISION) and is resolved at
+        # trace time inside the kernels — key the cached dispatch on it so
+        # an env flip between searches re-traces instead of serving stale
+        key = (k, mode, metric, str(resolve_precision(None)))
         fn = self._search_fns.get(key)
         if fn is None:
             fn = build_sharded_search_fn(
