@@ -44,6 +44,13 @@ def main(argv=None):
     p.add_argument("--text-depth", default=12, type=int)
     p.add_argument("--vocab-size", default=30000, type=int)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--adam-mu-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="Adam first-moment dtype. bf16 (default) halves the "
+                        "first-moment HBM state and measured +25% step "
+                        "throughput on the 540M-param dual encoder "
+                        "(35.5 -> 44.5 img/s, BENCHMARKS.md); float32 "
+                        "restores the reference's torch Adam numerics")
     p.add_argument("--no-dedupe-concepts", action="store_true",
                    help="encode every (b, w) concept slot per step like the "
                         "reference instead of unique concepts + gather")
@@ -125,6 +132,7 @@ def main(argv=None):
     tx = build_optimizer(
         variables["params"], lr=args.lr, backbone_lr_scale=1.0,
         weight_decay=args.weight_decay, frozen_predicate=frozen,
+        mu_dtype=jnp.bfloat16 if args.adam_mu_dtype == "bfloat16" else None,
     )
     state = create_train_state(model, jax.random.PRNGKey(args.seed), None, tx,
                                variables=variables)

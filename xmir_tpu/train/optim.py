@@ -48,17 +48,24 @@ def build_optimizer(
     weight_decay: float = 0.0,
     backbone_prefixes: Sequence[str] = ("backbone",),
     frozen_predicate: Callable[[str], bool] | None = None,
+    mu_dtype=None,
 ):
     """Adam(W) with grad clipping, per-part LRs, and optional frozen subtrees.
 
     frozen_predicate(path) -> True freezes that leaf (gradient zeroed), the
     optax equivalent of requires_grad=False partial fine-tuning.
+
+    mu_dtype: dtype of Adam's FIRST moment (optax mu_dtype; second moment
+    stays f32). bf16 halves the first-moment HBM state+traffic; on the
+    540M-param ConceptCLIP step that relieves enough memory pressure for
+    +25% throughput (35.5 -> 44.5 img/s, BENCHMARKS.md round-5 profile).
+    Default None = f32 (the reference's torch.optim.Adam behavior).
     """
     def make(lr_):
         opt = (
-            optax.adamw(lr_, weight_decay=weight_decay)
+            optax.adamw(lr_, weight_decay=weight_decay, mu_dtype=mu_dtype)
             if weight_decay
-            else optax.adam(lr_)
+            else optax.adam(lr_, mu_dtype=mu_dtype)
         )
         return optax.chain(optax.clip_by_global_norm(clip_norm), opt)
 
