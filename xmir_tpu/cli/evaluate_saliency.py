@@ -94,7 +94,7 @@ def main(argv=None):
         return eval_preprocess(imgs, spec.resize_size, size, spec.mean, spec.std)
 
     print(f">> embedding {len(dataset)} gallery images ...")
-    embeds, labels = embed_dataset(dataset, embed, variables, spec)
+    embeds, labels = embed_dataset(dataset, embed, variables, spec, mesh=mesh)
     idx = ShardedGalleryIndex(embeds.shape[1])
     idx.add(embeds, labels, [str(n) for n in dataset.image_names])
     idx.build(mesh)
