@@ -264,3 +264,37 @@ class TestPathRemap:
         assert n == 3
         assert idx.paths[0] == "/data/covid/im0.png"
         assert idx.paths[3] == "/other/x.png"
+
+
+class TestBenchUsesServedPath:
+    """VERDICT r4 #4 drift guard: bench.py times
+    index/gallery.py::make_sharded_search_step — this pins that the step
+    function IS the served computation: calling it directly must reproduce
+    ShardedGalleryIndex.search() exactly on the same built index."""
+
+    def test_step_function_matches_index_search(self, rng, monkeypatch):
+        import jax
+
+        from xmir_tpu.index.gallery import (
+            _pick_tile_g,
+            make_sharded_search_step,
+        )
+        from xmir_tpu.parallel import make_mesh
+
+        monkeypatch.setenv("XMIR_GALLERY_PALLAS", "interpret")
+        g = rng.standard_normal((1000, 64)).astype(np.float32)
+        q = rng.standard_normal((16, 64)).astype(np.float32)
+        mesh = make_mesh((8,), axis_names=("data",))
+        idx = ShardedGalleryIndex(64, metric="ip")
+        idx.add(g)
+        idx.build(mesh)
+        vals, ids = idx.search(q, k=7)
+
+        shard_rows = idx._device_embeds.shape[0] // 8
+        step = make_sharded_search_step(
+            mesh, 7, shard_rows, idx._n, "interpret", "ip", idx.dtype,
+            _pick_tile_g(shard_rows),
+        )
+        v2, i2 = jax.jit(step)(jnp.asarray(q, idx.dtype), idx._device_embeds)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(v2))
