@@ -298,3 +298,35 @@ class TestBenchUsesServedPath:
         v2, i2 = jax.jit(step)(jnp.asarray(q, idx.dtype), idx._device_embeds)
         np.testing.assert_array_equal(np.asarray(ids), np.asarray(i2))
         np.testing.assert_array_equal(np.asarray(vals), np.asarray(v2))
+
+
+class TestCrossShardTies:
+    """The merge drops the index argsort (round 5): ties must STILL break to
+    the lower gallery index both within a shard and across shards, because
+    lax.top_k picks the first position and candidates are block-major."""
+
+    @pytest.mark.parametrize("mode", ["0", "interpret"])
+    def test_planted_duplicates_break_to_lower_index(self, rng, monkeypatch, mode):
+        monkeypatch.setenv("XMIR_GALLERY_PALLAS", mode)
+        n, d = 1024, 32
+        g = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+        q = rng.standard_normal((2, d)).astype(np.float32)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        # same-shard duplicate pair (shard 0 holds rows 0..127)
+        g[5] = g[40] = 3.0 * qn[0]
+        # cross-shard duplicate pair (rows 200 and 900 are different shards)
+        g[200] = g[900] = 2.0 * qn[0]
+        mesh = make_mesh((8,), axis_names=("data",))
+        idx = ShardedGalleryIndex(d, metric="ip")
+        idx.add(g)
+        idx.build(mesh)
+        vals, ids = idx.search(q, k=4)
+        ids = np.asarray(ids)
+        assert list(ids[0]) == [5, 40, 200, 900]
+        # and the full result equals the meshless index bit-for-bit
+        idx1 = ShardedGalleryIndex(d, metric="ip")
+        idx1.add(g)
+        idx1.build()
+        v1, i1 = idx1.search(q, k=4)
+        np.testing.assert_array_equal(ids, np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(v1))

@@ -122,16 +122,22 @@ def make_local_shard_search(
 
 def merge_shard_candidates(vals, idxs, n_dev: int, k: int):
     """Cross-shard candidate merge: (n_dev, Q, k) per-shard top-k blocks ->
-    global (Q, k). Candidates are ordered by gallery index first so equal
-    scores break to the lower index (the reference's stable-argsort tie
-    semantics, test.py:1081), then one top-k. Shared by the served path and
-    the benchmark."""
+    global (Q, k), preserving the reference's stable-argsort tie semantics
+    (equal scores break to the LOWER gallery index, test.py:1081).
+
+    No index sort is needed: lax.top_k breaks ties by FIRST position, and
+    the block-major candidate layout already orders equal values by gallery
+    index — within a shard block the local kernel ranks equal scores
+    lower-index-first (ops/topk_pallas.py / ops/topk.py tie rule), and
+    across blocks shard s only holds indices in [s*rows, (s+1)*rows), so an
+    earlier block IS a lower index. Dropping the (Q, n_dev*k) argsort + two
+    gathers cut the measured 8-shard merge from 1.39 ms to the cost of one
+    top_k (bench.py::bench_merge_8shard; tie semantics pinned by the
+    planted-duplicate tests and the multichip dryrun). Shared by the served
+    path and the benchmark."""
     q = vals.shape[1]
     vals = vals.transpose(1, 0, 2).reshape(q, n_dev * k)
     idxs = idxs.transpose(1, 0, 2).reshape(q, n_dev * k)
-    order = jnp.argsort(idxs, axis=1, stable=True)
-    vals = jnp.take_along_axis(vals, order, axis=1)
-    idxs = jnp.take_along_axis(idxs, order, axis=1)
     v, pos = jax.lax.top_k(vals, k)
     i = jnp.take_along_axis(idxs, pos, axis=1)
     return v, i
