@@ -55,6 +55,35 @@ class TestIngestQueryCLI:
         hit = results[0]["results"][0]
         assert set(hit) == {"id", "image_path", "label", "distance", "similarity"}
 
+    def test_ingest_query_use_mesh_matches(self, tmp_path):
+        """--use-mesh on ingest (sharded-batch embedding) and query (sharded
+        index + sharded query embedding) must reproduce the meshless
+        pipeline on the 8-device CPU mesh (tiny model for speed)."""
+        from xmir_tpu.cli import ingest as ingest_cli
+        from xmir_tpu.cli import query as query_cli
+
+        common = ["--dataset", "synthetic", "--model", "tiny",
+                  "--embedding-dim", "16", "--batch-size", "16"]
+        outs = {}
+        for name, extra in (("plain", []), ("mesh", ["--use-mesh"])):
+            gal = str(tmp_path / f"g_{name}.npz")
+            ingest_cli.main(
+                common + ["--split", "train", "--output", gal] + extra
+            )
+            out = str(tmp_path / f"h_{name}.json")
+            query_cli.main(common + [
+                "--index", gal, "--top-k", "3", "--output", out,
+            ] + extra)
+            outs[name] = json.load(open(out))
+        for r0, r1 in zip(outs["plain"], outs["mesh"]):
+            assert [h["id"] for h in r0["results"]] == [
+                h["id"] for h in r1["results"]
+            ]
+            for h0, h1 in zip(r0["results"], r1["results"]):
+                assert h1["similarity"] == pytest.approx(
+                    h0["similarity"], abs=1e-5
+                )
+
 
 class TestChestmirCLI:
     def test_chestmir_eval_cli(self, tmp_path, rng):

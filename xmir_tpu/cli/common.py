@@ -203,3 +203,25 @@ def apply_score_precision(args):
     (metrics/retrieval.py). Explicitly-set envs win over the flag."""
     os.environ.setdefault("XMIR_TOPK_PRECISION", args.score_precision)
     os.environ.setdefault("XMIR_EVAL_PRECISION", args.score_precision)
+
+
+def add_mesh_arg(p: argparse.ArgumentParser):
+    p.add_argument(
+        "--use-mesh", action="store_true",
+        help="Run the device-side hot loops over all local devices: gallery "
+             "embedding shards the batch axis (data-parallel eval, the "
+             "reference's DDP + all_gather) and the retrieval index shards "
+             "its rows (per-shard fused top-k + cross-shard merge).",
+    )
+
+
+def build_data_mesh(args):
+    """The 1-axis data mesh the serving CLIs shard over (or None)."""
+    if not getattr(args, "use_mesh", False):
+        return None
+    from ..parallel import make_mesh
+    from ..parallel.mesh import DATA_AXIS
+
+    mesh = make_mesh((jax.device_count(),), axis_names=(DATA_AXIS,))
+    print(f">> data mesh over {jax.device_count()} device(s)")
+    return mesh

@@ -8,7 +8,15 @@ from __future__ import annotations
 import argparse
 import time
 
-from .common import add_dataset_args, add_model_args, build_dataset, build_model, jitted_embed
+from .common import (
+    add_dataset_args,
+    add_mesh_arg,
+    add_model_args,
+    build_data_mesh,
+    build_dataset,
+    build_model,
+    jitted_embed,
+)
 
 
 def main(argv=None):
@@ -35,6 +43,7 @@ def main(argv=None):
     p.add_argument("--upload-prefix", default="original",
                    help="Key prefix inside the store "
                         "(S3_ORIGINAL_IMAGES_PREFIX)")
+    add_mesh_arg(p)
     args = p.parse_args(argv)
 
     from ..data.pipeline import embed_dataset
@@ -44,11 +53,12 @@ def main(argv=None):
     model, spec, variables = build_model(args, train=False)
     embed = jitted_embed(model)
 
+    mesh = build_data_mesh(args)
     t0 = time.time()
     embeds, labels = embed_dataset(
         dataset, embed, variables, spec,
         batch_size=args.batch_size, num_workers=args.workers,
-        skip_errors=args.skip_errors,
+        skip_errors=args.skip_errors, mesh=mesh,
     )
     dt = time.time() - t0
     print(f">> embedded {len(dataset)} images in {dt:.1f}s "

@@ -12,9 +12,11 @@ import numpy as np
 
 from .common import (
     add_dataset_args,
+    add_mesh_arg,
     add_model_args,
     add_precision_args,
     apply_score_precision,
+    build_data_mesh,
     build_dataset,
     build_model,
     jitted_embed,
@@ -36,13 +38,15 @@ def main(argv=None):
     p.add_argument("--path-map", default="",
                    help="OLD=NEW gallery path prefix rewrite (reference "
                         "milvus/path_mapper.py, e.g. /kaggle/input=/data)")
+    add_mesh_arg(p)
     args = p.parse_args(argv)
     apply_score_precision(args)
 
     from ..data.pipeline import embed_dataset
     from ..index import ShardedGalleryIndex
 
-    idx = ShardedGalleryIndex.load(args.index)
+    mesh = build_data_mesh(args)
+    idx = ShardedGalleryIndex.load(args.index, mesh=mesh)
     if args.path_map:
         old, _, new = args.path_map.partition("=")
         n = idx.remap_paths(old, new)
@@ -54,7 +58,7 @@ def main(argv=None):
     embed = jitted_embed(model)
     queries, q_labels = embed_dataset(
         dataset, embed, variables, spec,
-        batch_size=args.batch_size, num_workers=args.workers,
+        batch_size=args.batch_size, num_workers=args.workers, mesh=mesh,
     )
 
     k = args.top_k if args.top_k > 0 else idx.ntotal

@@ -17,9 +17,11 @@ import numpy as np
 
 from .common import (
     add_dataset_args,
+    add_mesh_arg,
     add_model_args,
     add_precision_args,
     apply_score_precision,
+    build_data_mesh,
     build_dataset,
     build_model,
     is_multilabel,
@@ -206,6 +208,7 @@ def main(argv=None):
     p.add_argument("--clip-dim", default=768, type=int)
     p.add_argument("--clip-image-size", default=224, type=int)
     add_precision_args(p)
+    add_mesh_arg(p)
     args = p.parse_args(argv)
     apply_score_precision(args)
 
@@ -253,6 +256,7 @@ def main(argv=None):
     embeds, labels = embed_dataset(
         dataset, embed, variables, spec,
         batch_size=args.eval_batch_size, num_workers=args.workers,
+        mesh=build_data_mesh(args),
     )
     if is_multilabel(args.dataset):
         return evaluate_multilabel(embeds, labels, args.save_dir or None)
