@@ -130,3 +130,19 @@ class TestWriteThroughCache:
             wt.load_batch_cropped([0], 48)
         assert list(wt.labels) == list(range(9))
         assert len(wt) == 9
+
+    def test_duplicate_indices_do_not_overcount(self, dataset, tmp_path):
+        """PK-sampled batches repeat indices; duplicates must not inflate the
+        done-count and finalize the artifact before full coverage."""
+        import os
+
+        from xmir_tpu.data.cache import WriteThroughCache
+
+        wt = WriteThroughCache(dataset, str(tmp_path / "c"), 32)
+        wt.load_batch_cropped([0, 0, 1, 1, 2, 2, 3, 3, 4], 32)
+        assert wt._n_done == 5
+        assert not wt.complete
+        assert not os.path.exists(str(tmp_path / "c" / "meta.json"))
+        wt.load_batch_cropped([5, 6, 7, 8, 8], 32)
+        assert wt.complete
+        assert os.path.exists(str(tmp_path / "c" / "meta.json"))

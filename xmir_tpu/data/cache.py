@@ -168,10 +168,14 @@ class WriteThroughCache:
             out[~done] = fresh
             self.images[missing] = fresh  # write-back (idempotent per index)
             with self._lock:
-                newly = missing[~self._done[missing]]
-                self._done[newly] = True
-                self._n_done += len(newly)
-                if self._n_done == len(self):
+                # recount rather than increment: sampled batches may repeat
+                # an index (PKSampler), and counting a duplicate twice would
+                # finalize the artifact before every image is decoded
+                self._done[missing] = True
+                self._n_done = int(self._done.sum())
+                if self._n_done == len(self) and not os.path.exists(
+                    os.path.join(self.cache_dir, "meta.json")
+                ):
                     self._finalize_locked()
         return out
 
